@@ -1,0 +1,123 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * UDF-free span extraction pipeline — the Spark-native replacement for the
+ * reference's regex spider (`/root/reference/spiderfetch/spider.py:34-88`).
+ *
+ * The corpus is pre-tokenized into interleaved spans (input_hint), so
+ * "extraction" is a span filter + deterministic ordering, not regex work:
+ *
+ *   findall order (spider.py:82-88) = extractor rank, then match offset,
+ *   where rank: link:0, link_unq:1, frame:2, frame_unq:3, img:4, img_unq:5,
+ *   uri:6, ftp:7 — and ftp spans only count when the page scheme is ftp
+ *   (spider.py:84-85).
+ *
+ * Everything is built-in higher-order functions (`filter`, `array_sort`
+ * with comparator, `posexplode`) — full Catalyst optimization, no UDFs, no
+ * shuffle: ordering happens inside the span array before exploding.
+ */
+object Extract {
+
+  /** Extractor ranks defining findall order (spider.py:74-88). */
+  val ExtractorRank: Map[String, Int] = Map(
+    "link" -> 0, "link_unq" -> 1, "frame" -> 2, "frame_unq" -> 3,
+    "img" -> 4, "img_unq" -> 5, "uri" -> 6, "ftp" -> 7)
+
+  /** Media kinds carry the URL in media_ref; link-ish kinds in text. */
+  val MediaKinds: Seq[String] = Seq("frame", "frame_unq", "img", "img_unq")
+
+  private val rankMap: Column =
+    typedLit(ExtractorRank)
+
+  /** URL of a span struct column (media kinds -> media_ref, else text). */
+  def spanUrl(span: Column): Column =
+    when(span.getField("kind").isin(MediaKinds: _*), span.getField("media_ref"))
+      .otherwise(span.getField("text"))
+
+  /** Lowercased scheme of a URL column (urlsplit semantics: leading
+    * letter + [letter digit +.-]* before ':'). */
+  def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.\\-]*):", 1))
+
+  /**
+   * findall (spider.py:82-88) over a span-table corpus.
+   *
+   * Input: (doc_id, spans) [+ passthrough columns].
+   * Output: one row per extracted span in exact findall order:
+   * (doc_id, extract_idx, kind, text, media_ref, offset, url).
+   */
+  def findall(docs: DataFrame): DataFrame = {
+    val isFtpPage = schemeOf(col("doc_id")) === "ftp"
+    val urlSpans = filter(col("spans"), s =>
+      s.getField("kind") =!= "text" &&
+        (s.getField("kind") =!= "ftp" || isFtpPage))
+    val sortKey = (s: Column) =>
+      coalesce(element_at(rankMap, s.getField("kind")), lit(99))
+        .cast("long") * lit(1000000000L) + s.getField("offset")
+    val ordered = array_sort(urlSpans, (l, r) =>
+      when(sortKey(l) < sortKey(r), -1)
+        .when(sortKey(l) > sortKey(r), 1)
+        .otherwise(0))
+    docs
+      .select(col("*"), posexplode(ordered).as(Seq("pos", "s")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("extract_idx"),
+        col("s.kind").as("kind"),
+        col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"),
+        col("s.offset").as("offset"),
+        spanUrl(col("s")).as("url"))
+  }
+
+  /**
+   * unique (spider.py:102-104): order-preserving first-wins distinct of
+   * extracted URLs per document. A ranking window, NOT dropDuplicates
+   * (which has no ordering guarantee) — SURVEY §2.3 E6 / §2.8 O4.
+   */
+  def uniqueFirstWins(extracted: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"), col("url"))
+      .orderBy(col("extract_idx"))
+    extracted
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** has_urls typecheck (filetype.py:28-34 / SURVEY P6): any non-text span
+    * (gated on scheme for ftp spans). */
+  def hasUrls(docs: DataFrame): DataFrame = {
+    val isFtpPage = schemeOf(col("doc_id")) === "ftp"
+    docs.withColumn("has_urls",
+      size(filter(col("spans"), s =>
+        s.getField("kind") =!= "text" &&
+          (s.getField("kind") =!= "ftp" || isFtpPage))) > 0)
+  }
+
+  /** is_html typecheck analogue (filetype.py:13,24-26 / SURVEY P5): the doc
+    * has interleaved structure at all (any spans). */
+  def isHtml(docs: DataFrame): DataFrame =
+    docs.withColumn("is_html", size(col("spans")) > 0)
+
+  // ---- pure-Scala twin (used by the sequential oracle + unit tests) ----
+
+  /** findall over a single span doc: (kind, url) in exact findall order.
+    * Same contract as the Spark `findall` above. */
+  def findallSeq(doc: graft.model.CorpusDoc): Seq[(String, String)] = {
+    val isFtp = doc.doc_id.take(4).equalsIgnoreCase("ftp:")
+    doc.spans
+      .filter(s => s.kind != "text" && (s.kind != "ftp" || isFtp))
+      .sortBy(s => (ExtractorRank.getOrElse(s.kind, 99), s.offset))
+      .map(s => (s.kind, if (MediaKinds.contains(s.kind)) s.media_ref else s.text))
+  }
+
+  /** unique (spider.py:102-104): order-preserving first-wins distinct. */
+  def uniqueSeq(urls: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    urls.filter(seen.add)
+  }
+}

@@ -1,0 +1,276 @@
+package graft.oracle
+
+import graft.model._
+import graft.urlcanon.{PyUrl, UrlRewrite}
+import graft.extract.Extract
+import scala.collection.mutable
+
+/**
+ * Sequential, list-based reimplementation of the reference crawl loop —
+ * the in-repo ORACLE for crawl parity tests (SURVEY §5.2). Mirrors
+ * `/root/reference/spiderfetch/spiderfetch.py` semantics exactly:
+ *
+ *  - rule/depth staging + depth-0 queue split (`spiderfetch.py:209-231,192-207`)
+ *  - FIFO wave processing with same-wave retry append (`:138-190,150-154`)
+ *  - redirect loop with dedup/hostfilter/alias (`:87-102`, `web.py:52-54`)
+ *  - qualification + dedup-at-enqueue + dump ordering (`:104-136`)
+ *  - graph building with self-loop exclusion (`web.py:36-50`)
+ *
+ * "Fetching" resolves against the span-table corpus (the corpus IS the
+ * web): redirects via `redirect_to`, temporal failures via `fail_attempts`
+ * (attempt k fails iff k < fail_attempts, where k = 0 for the original
+ * record and 1 for its once-only retry), zero-data via empty spans.
+ *
+ * Extension knobs (politeness budget, robots) define the SAME semantics the
+ * distributed engine implements, so engine==oracle can be asserted for
+ * those configs too; with defaults they degrade to reference behavior.
+ */
+object RefCrawler {
+
+  final case class SeenRow(url: String, wave: Int, seq: Long)
+  final case class ProcessedRow(wave: Int, url: String, mode: Int, retry: Boolean)
+
+  final case class CrawlResult(
+      seen: Vector[SeenRow],
+      processed: Vector[ProcessedRow],
+      dump: Vector[String],
+      edges: Set[(String, String)],
+      aliases: Vector[(String, String)],   // (canonical first-url, alias)
+      fetchLog: Vector[FetchLogEntry],
+      robotsBlocked: Vector[String])
+
+  private sealed trait FetchOutcome
+  private case object Success extends FetchOutcome
+  private final case class Failed(code: Int) extends FetchOutcome
+  private final case class Redirected(location: String) extends FetchOutcome
+
+  private case class DuplicateUrlWarning() extends Exception
+  private case class UrlRedirectsOffHost() extends Exception
+  private case class RecordAborted() extends Exception
+
+  private final case class Rec(url: String, mode: Int, retry: Boolean)
+
+  def run(
+      corpus: Seq[CorpusDoc],
+      seedUrl: String,
+      rules: Seq[RecipeRule],
+      hostFilterEnabled: Boolean = false,
+      config: CrawlConfig = CrawlConfig()): CrawlResult = {
+
+    val docs: Map[String, CorpusDoc] = corpus.map(d => d.doc_id -> d).toMap
+
+    // --- web graph state (web.py:13-57) ---
+    val index = mutable.LinkedHashMap.empty[String, Int] // url -> nodeId
+    val nodeFirstUrl = mutable.Map.empty[Int, String]
+    val nodeAliases = mutable.Map.empty[Int, mutable.ArrayBuffer[String]]
+    var nextNode = 0
+    val seen = Vector.newBuilder[SeenRow]
+    var seqCounter = 0L
+    var waveNo = 0
+
+    def addNode(url: String, wave: Int): Int = {
+      val id = nextNode; nextNode += 1
+      index(url) = id
+      nodeFirstUrl(id) = url
+      nodeAliases(id) = mutable.ArrayBuffer(url)
+      seen += SeenRow(url, wave, seqCounter); seqCounter += 1
+      id
+    }
+
+    val edges = mutable.LinkedHashSet.empty[(String, String)]
+    val aliasRows = Vector.newBuilder[(String, String)]
+    val dump = Vector.newBuilder[String]
+    val processed = Vector.newBuilder[ProcessedRow]
+    val fetchLog = Vector.newBuilder[FetchLogEntry]
+    val robotsBlocked = Vector.newBuilder[String]
+
+    // add_url (web.py:36-50): ensure nodes, record edges, skip self-loops
+    def addUrl(url: String, children: Seq[String]): Unit = {
+      if (!index.contains(url)) addNode(url, waveNo)
+      children.foreach { c =>
+        if (c != url) {
+          if (!index.contains(c)) addNode(c, waveNo)
+          edges += ((url, c))
+        }
+      }
+    }
+    // add_ref (web.py:52-54): alias newUrl to url's existing node
+    def addRef(url: String, newUrl: String): Unit = {
+      val id = index(url)
+      index(newUrl) = id
+      nodeAliases(id) += newUrl
+      seen += SeenRow(newUrl, waveNo, seqCounter); seqCounter += 1
+      aliasRows += ((nodeFirstUrl(id), newUrl))
+    }
+
+    addNode(seedUrl, 0) // Web(root) — seed is seen from the start
+
+    def fetch(url: String, attempt: Int, mode: Int): FetchOutcome = {
+      val out = docs.get(url) match {
+        case None => Failed(ErrorCode.DNS)
+        case Some(d) if attempt < d.fail_attempts => Failed(ErrorCode.TIMEOUT)
+        case Some(d) if d.redirect_to.isDefined => Redirected(d.redirect_to.get)
+        case Some(d) if d.spans.isEmpty => Failed(ErrorCode.NO_DATA)
+        case Some(_) => Success
+      }
+      val code = out match {
+        case Failed(c) => c
+        case Redirected(_) => ErrorCode.REDIRECT
+        case Success => ErrorCode.NONE
+      }
+      fetchLog += FetchLogEntry(url, mode, waveNo, code, attempt)
+      out
+    }
+
+    def hostOk(filter: Option[String], url: String): Boolean =
+      !hostFilterEnabled || PyUrl.getHostname(url) == filter
+
+    // get_url (spiderfetch.py:87-102): redirect loop
+    def getUrl(rec: Rec, rule: RecipeRule): (String, Option[Int]) = {
+      var cur = rec.url
+      val attempt = if (rec.retry) 1 else 0
+      while (true) {
+        fetch(cur, attempt, rec.mode) match {
+          case Redirected(loc) =>
+            val newRaw = PyUrl.urljoin(cur, loc) // redirect_internal (fetch.py:192)
+            val newUrl = UrlRewrite.rewriteUrls(cur, Seq(newRaw)).headOption
+              .getOrElse(throw RecordAborted())
+            if (index.contains(newUrl)) throw DuplicateUrlWarning()
+            if (!hostOk(rule.hostFilter, newUrl)) throw UrlRedirectsOffHost()
+            addRef(cur, newUrl)
+            cur = newUrl
+          case Failed(c) => return (cur, Some(c))
+          case Success => return (cur, None)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    def applyMask(pattern: Option[String], url: String): Boolean =
+      pattern.exists(p =>
+        java.util.regex.Pattern.compile(p).matcher(url).find()) // re.search
+
+    // findall over a span doc (shared ordering contract with the engine)
+    def findallUrls(doc: CorpusDoc): Seq[String] =
+      Extract.findallSeq(doc).map(_._2)
+
+    // qualify_urls (spiderfetch.py:104-136)
+    def qualifyUrls(refUrl: String, urls: Seq[String], rule: RecipeRule,
+                    newqueue: mutable.ArrayBuffer[Rec]): Unit = {
+      urls.foreach { url =>
+        val doDump = applyMask(rule.dump, url)
+        val doFetch = applyMask(rule.fetch, url)
+        val doSpider = applyMask(rule.spider, url) && hostOk(rule.hostFilter, url)
+        if (!index.contains(url)) {
+          if (doDump) dump += url
+          val mode =
+            if (doFetch && doSpider) Mode.SPIDER_FETCH
+            else if (doFetch) Mode.FETCH
+            else if (doSpider) Mode.SPIDER
+            else 0
+          if (doFetch || doSpider) newqueue += Rec(url, mode, retry = false)
+        }
+        if (doDump || doFetch || doSpider) addUrl(refUrl, Seq(url))
+      }
+    }
+
+    def robotsAllows(url: String): Boolean = {
+      val host = UrlRewrite.canonicalHost(url)
+      val path = PyUrl.urlsplit(url).path
+      val matching = config.robots.filter(r => r.host == host && path.startsWith(r.pathPrefix))
+      if (matching.isEmpty) true
+      else matching.maxBy(_.pathPrefix.length).allow // longest prefix wins
+    }
+
+    def processOne(rec: Rec, rule: RecipeRule,
+                   newqueue: mutable.ArrayBuffer[Rec],
+                   retrySink: mutable.ArrayBuffer[Rec]): Unit = {
+      processed += ProcessedRow(waveNo, rec.url, rec.mode, rec.retry)
+      try {
+        val (finalUrl, error) = getUrl(rec, rule)
+        if (error.exists(ErrorCode.isTemporal) && !rec.retry)
+          retrySink += rec.copy(retry = true)
+        if (rec.mode == Mode.SPIDER) {
+          // content only if the fetch succeeded (empty temp file otherwise)
+          val content = if (error.isEmpty) docs.get(finalUrl) else None
+          val rawUrls = content.map(findallUrls).getOrElse(Nil)
+          val urls = UrlRewrite.rewriteUrls(finalUrl, rawUrls)
+          qualifyUrls(finalUrl, urls, rule, newqueue)
+        }
+        // FETCH mode: file moved to final name (S5) — no frontier effect
+      } catch {
+        case _: DuplicateUrlWarning => ()
+        case _: UrlRedirectsOffHost => ()
+        case _: RecordAborted => ()
+      }
+    }
+
+    // process_records (spiderfetch.py:138-190)
+    def processRecords(queue: Seq[Rec], rule: RecipeRule): Seq[Rec] = {
+      waveNo += 1
+      val newqueue = mutable.ArrayBuffer.empty[Rec]
+      val admitted = queue.filter { r =>
+        val ok = robotsAllows(r.url)
+        if (!ok) robotsBlocked += r.url
+        ok
+      }
+      config.perHostBudget match {
+        case None =>
+          // reference-exact: iterate while appending retries to same list
+          val q = mutable.ArrayBuffer(admitted: _*)
+          var i = 0
+          while (i < q.length) { processOne(q(i), rule, newqueue, retrySink = q); i += 1 }
+        case Some(k) =>
+          // politeness chunking: first-k-per-host stable chunks (SURVEY §4.3.2)
+          var pending = mutable.ArrayBuffer(admitted: _*)
+          while (pending.nonEmpty) {
+            val taken = mutable.Map.empty[String, Int]
+            val (chunk, rest) = pending.partition { r =>
+              val h = UrlRewrite.canonicalHost(r.url)
+              val n = taken.getOrElse(h, 0)
+              if (n < k) { taken(h) = n + 1; true } else false
+            }
+            pending = rest
+            chunk.foreach(r => processOne(r, rule, newqueue, retrySink = pending))
+          }
+      }
+      newqueue.toSeq
+    }
+
+    // split_queue (spiderfetch.py:192-207)
+    def splitQueue(queue: Seq[Rec], lastRule: Boolean): (Seq[Rec], Seq[Rec]) = {
+      val fetchQ = queue.collect {
+        case r if r.mode == Mode.FETCH || r.mode == Mode.SPIDER_FETCH =>
+          r.copy(mode = Mode.FETCH)
+      }
+      val spiderQ =
+        if (lastRule) Seq.empty
+        else queue.collect {
+          case r if r.mode == Mode.SPIDER || r.mode == Mode.SPIDER_FETCH =>
+            r.copy(mode = Mode.SPIDER)
+        }
+      (fetchQ, spiderQ)
+    }
+
+    // main (spiderfetch.py:209-231)
+    var outerQueue: Seq[Rec] = Seq(Rec(seedUrl, Mode.SPIDER, retry = false))
+    rules.zipWithIndex.foreach { case (rule, ruleIdx) =>
+      var depth = rule.depth
+      var queue = outerQueue
+      outerQueue = Seq.empty
+      while (queue.nonEmpty) {
+        if (depth > 0) depth -= 1
+        else {
+          val (fq, sq) = splitQueue(queue, ruleIdx == rules.length - 1)
+          queue = fq
+          outerQueue = sq
+        }
+        queue = processRecords(queue, rule)
+      }
+    }
+
+    CrawlResult(
+      seen.result(), processed.result(), dump.result(),
+      edges.toSet, aliasRows.result(), fetchLog.result(), robotsBlocked.result())
+  }
+}
