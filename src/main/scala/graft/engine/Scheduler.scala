@@ -1,0 +1,72 @@
+package graft.engine
+
+import graft.model.RobotsRule
+import graft.urlcanon.PyUrl
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Frontier scheduler (north rule): per-host politeness budgets, robots
+ * rules, priority dequeue over a host-hash-partitioned frontier, with
+ * salted-key skew mitigation for hot hosts (SURVEY §4.3.2-3).
+ *
+ * Parity configuration — budget=∞, no robots, FIFO priority — degrades to
+ * the reference's plain queue order (its only politeness is a global
+ * inter-request sleep, `spiderfetch.py:186-188`).
+ */
+object Scheduler {
+
+  /** robots.txt-style admission: longest matching path-prefix wins; no
+    * match => allowed. Robots is a small broadcast table (J-side). */
+  def robotsFilter(spark: SparkSession, queue: DataFrame,
+                   robots: Seq[RobotsRule]): (DataFrame, DataFrame) = {
+    if (robots.isEmpty) return (queue, queue.limit(0))
+    import spark.implicits._
+    val robotsDf = robots.toDF("r_host", "r_prefix", "r_allow")
+    val pathOf = udf((u: String) => PyUrl.urlsplit(u).path)
+    val withPath = queue.withColumn("_path", pathOf(col("url")))
+    val joined = withPath.join(
+      broadcast(robotsDf),
+      col("host") === col("r_host") && col("_path").startsWith(col("r_prefix")),
+      "left")
+    // longest matching prefix per row decides; ties impossible (distinct prefixes)
+    val w = Window.partitionBy(col("url"), col("seq"))
+      .orderBy(length(col("r_prefix")).desc_nulls_last)
+    val decided = joined
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .withColumn("_allowed", coalesce(col("r_allow"), lit(true)))
+    val cols = queue.columns.map(col)
+    (decided.filter(col("_allowed")).select(cols: _*),
+     decided.filter(!col("_allowed")).select(cols: _*))
+  }
+
+  /** Politeness dequeue: stable first-k-per-host chunk of the pending
+    * frontier, FIFO (seq) priority within host. Returns (chunk, rest).
+    * One shuffle (by host); the window is the priority queue. */
+  def dequeueChunk(pending: DataFrame, perHostBudget: Int,
+                   priority: String = "seq"): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("host")).orderBy(col(priority))
+    val ranked = pending.withColumn("_hrk", row_number().over(w))
+    (ranked.filter(col("_hrk") <= perHostBudget).drop("_hrk"),
+     ranked.filter(col("_hrk") > perHostBudget).drop("_hrk"))
+  }
+
+  /**
+   * Scale-path dequeue ordering: repartition by (host, salt) so one hot
+   * host fans across `saltBuckets` partitions instead of serializing one
+   * (SURVEY §4.3.3), then sort within partitions by priority. Use for
+   * throughput jobs where global emission order is not required; AQE's
+   * skew handling covers the fetch join itself.
+   */
+  def dequeueAllSalted(frontier: DataFrame, saltBuckets: Int,
+                       numPartitions: Int, priority: String = "seq"): DataFrame = {
+    val salted = frontier.withColumn(
+      "_salt", pmod(hash(col("url")), lit(math.max(saltBuckets, 1))))
+    salted
+      .repartition(numPartitions, col("host"), col("_salt"))
+      .sortWithinPartitions(col(priority))
+      .drop("_salt")
+  }
+}

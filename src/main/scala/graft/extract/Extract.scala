@@ -46,9 +46,9 @@ object Extract {
   /**
    * findall (spider.py:82-88) over a span-table corpus.
    *
-   * Input: (doc_id, spans) [+ passthrough columns].
+   * Input: (doc_id, spans) [+ passthrough columns, preserved].
    * Output: one row per extracted span in exact findall order:
-   * (doc_id, extract_idx, kind, text, media_ref, offset, url).
+   * (passthrough..., doc_id, extract_idx, kind, text, media_ref, offset, url).
    */
   def findall(docs: DataFrame): DataFrame = {
     val isFtpPage = schemeOf(col("doc_id")) === "ftp"
@@ -64,14 +64,13 @@ object Extract {
         .otherwise(0))
     docs
       .select(col("*"), posexplode(ordered).as(Seq("pos", "s")))
-      .select(
-        col("doc_id"),
-        col("pos").cast("long").as("extract_idx"),
-        col("s.kind").as("kind"),
-        col("s.text").as("text"),
-        col("s.media_ref").as("media_ref"),
-        col("s.offset").as("offset"),
-        spanUrl(col("s")).as("url"))
+      .withColumn("extract_idx", col("pos").cast("long"))
+      .withColumn("kind", col("s.kind"))
+      .withColumn("text", col("s.text"))
+      .withColumn("media_ref", col("s.media_ref"))
+      .withColumn("offset", col("s.offset"))
+      .withColumn("url", spanUrl(col("s")))
+      .drop("pos", "s", "spans")
   }
 
   /**

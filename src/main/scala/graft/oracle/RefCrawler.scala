@@ -221,17 +221,28 @@ object RefCrawler {
           var i = 0
           while (i < q.length) { processOne(q(i), rule, newqueue, retrySink = q); i += 1 }
         case Some(k) =>
-          // politeness chunking: first-k-per-host stable chunks (SURVEY §4.3.2)
-          var pending = mutable.ArrayBuffer(admitted: _*)
+          // politeness chunking: first-k-per-host chunks in discovery order
+          // (SURVEY §4.3.2); a retried record keeps its original position
+          // (same semantics as the engine's seq-ordered pending window).
+          var pending = mutable.ArrayBuffer(admitted.zipWithIndex.map(_.swap): _*)
           while (pending.nonEmpty) {
             val taken = mutable.Map.empty[String, Int]
-            val (chunk, rest) = pending.partition { r =>
+            val (chunk, rest) = pending.partition { case (_, r) =>
               val h = UrlRewrite.canonicalHost(r.url)
               val n = taken.getOrElse(h, 0)
               if (n < k) { taken(h) = n + 1; true } else false
             }
             pending = rest
-            chunk.foreach(r => processOne(r, rule, newqueue, retrySink = pending))
+            val retries = mutable.ArrayBuffer.empty[Rec]
+            chunk.foreach { case (ord, r) =>
+              val before = retries.length
+              processOne(r, rule, newqueue, retrySink = retries)
+              // a retry keeps the original record's discovery position
+              (before until retries.length).foreach { i =>
+                pending += ((ord, retries(i)))
+              }
+            }
+            pending = pending.sortBy(_._1)
           }
       }
       newqueue.toSeq

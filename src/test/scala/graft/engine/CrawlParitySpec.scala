@@ -1,0 +1,130 @@
+package graft.engine
+
+import graft.SparkTestSession
+import graft.fixtures.FixtureCorpus
+import graft.model._
+import graft.oracle.RefCrawler
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The north-rule correctness gate: the distributed engine must reproduce
+ * the reference's crawl ordering, final URL-seen set, dump output, graph
+ * and fetch log EXACTLY, under the same seed list + politeness budget —
+ * verified against the in-repo sequential oracle (RefCrawler) on
+ * recipe-driven crawls over the deterministic fixture corpus.
+ */
+class CrawlParitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val params = FixtureCorpus.Params(hosts = 3, pagesPerHost = 3,
+    linksPerPage = 3, redirectPages = 2, failPages = 2)
+  private lazy val corpus = FixtureCorpus.generate(params)
+  private lazy val corpusDf = corpus.toDF
+  private val seed = FixtureCorpus.seedUrl(params)
+
+  private def assertParity(
+      rules: Seq[RecipeRule],
+      hostFilter: Boolean = false,
+      config: CrawlConfig = CrawlConfig(),
+      useSketch: Boolean = false,
+      docs: Seq[CorpusDoc] = corpus,
+      seedUrl: String = seed,
+      clue: String = ""): Unit = {
+
+    val oracle = RefCrawler.run(docs, seedUrl, rules, hostFilter, config)
+    val engine = new CrawlEngine(spark, docs.toDF, seedUrl, rules,
+      hostFilter, config, checkpoint = None, useSketch = useSketch).run()
+
+    val eSeen = engine.seen.orderBy("seq")
+      .select("url", "wave").as[(String, Int)].collect.toSeq
+    val oSeen = oracle.seen.map(s => (s.url, s.wave))
+    assert(eSeen == oSeen, s"$clue: seen-set order")
+
+    val eProc = engine.processed.orderBy("ord")
+      .select("wave", "url", "mode", "retry")
+      .as[(Int, String, Int, Boolean)].collect.toSeq
+    val oProc = oracle.processed.map(p => (p.wave, p.url, p.mode, p.retry))
+    assert(eProc == oProc, s"$clue: crawl (processing) order")
+
+    val eDump = engine.dump.orderBy("seq").select("url").as[String].collect.toSeq
+    assert(eDump == oracle.dump, s"$clue: dump order")
+
+    val eEdges = engine.edges.select("src", "dst").as[(String, String)].collect.toSet
+    assert(eEdges == oracle.edges, s"$clue: edge set")
+
+    val eAliases = engine.aliases.select("canonicalUrl", "aliasUrl")
+      .as[(String, String)].collect.toSet
+    assert(eAliases == oracle.aliases.toSet, s"$clue: alias set")
+
+    val eLog = engine.fetchLog
+      .select("wave", "url", "mode", "errorCode", "attempt")
+      .as[(Int, String, Int, Int, Int)].collect.toSeq.sorted
+    val oLog = oracle.fetchLog
+      .map(l => (l.wave, l.url, l.mode, l.errorCode, l.attempt)).sorted
+    assert(eLog == oLog, s"$clue: fetch log")
+
+    val eBlocked = engine.robotsBlocked.select("url").as[String].collect.toSeq.sorted
+    assert(eBlocked == oracle.robotsBlocked.sorted, s"$clue: robots blocked")
+  }
+
+  test("default recipe (spider .* / fetch pattern), depth 1") {
+    assertParity(Recipe.default("(?i).*\\.(txt|bz2)$", seed), clue = "default")
+  }
+
+  test("deep crawl: spider .*, fetch media, depth 3 — redirects/retries/ftp") {
+    assertParity(Seq(RecipeRule(spider = Some(".*"),
+      fetch = Some("(?i).*\\.(txt|bz2|jpe?g)$"), depth = 3)), clue = "deep")
+  }
+
+  test("dump-only recipe, depth 2 (mov recipe shape)") {
+    assertParity(Seq(RecipeRule(spider = Some(".*"),
+      dump = Some(".*page[12]\\.html$"), depth = 2)), clue = "dump")
+  }
+
+  test("jpg recipe shape: negative-lookahead spider mask") {
+    assertParity(Recipe.rewrite(Recipe.jpg, seed), clue = "jpg")
+  }
+
+  test("two-rule recipe: depth-0 split defers spiders to next rule") {
+    assertParity(Seq(
+      RecipeRule(spider = Some(".*"), fetch = Some(".*flaky.*"), depth = 1),
+      RecipeRule(spider = Some(".*page[01]\\.html$"), fetch = Some(".*\\.txt$"),
+        depth = 1)), clue = "two-rule")
+  }
+
+  test("host filter: spider restricted to seed host, redirects off-host dropped") {
+    assertParity(Recipe.default(".*\\.html$", seed,
+      Recipe.Env(hostFilter = true)), hostFilter = true, clue = "hostfilter")
+  }
+
+  test("politeness budget 2/host: chunked dequeue, same final state as oracle") {
+    assertParity(Seq(RecipeRule(spider = Some(".*"),
+      fetch = Some("(?i).*\\.(txt|bz2)$"), depth = 2)),
+      config = CrawlConfig(perHostBudget = Some(2)), clue = "budget")
+  }
+
+  test("robots rules: deny prefix blocks dequeue, longest prefix wins") {
+    val robots = Seq(
+      RobotsRule("host1.test", "/d1/", allow = false),
+      RobotsRule("host1.test", "/d1/page1", allow = true))
+    assertParity(Seq(RecipeRule(spider = Some(".*"), depth = 3)),
+      config = CrawlConfig(robots = robots), clue = "robots")
+  }
+
+  test("bloom-sketch path yields identical results (exactness never depends on sketch)") {
+    assertParity(Seq(RecipeRule(spider = Some(".*"),
+      fetch = Some("(?i).*\\.(txt|bz2)$"), depth = 3)),
+      useSketch = true, clue = "sketch")
+  }
+
+  test("hot-host skew corpus: parity holds under budget + skew") {
+    val skewed = FixtureCorpus.generate(params.copy(hotHostFactor = 4,
+      redirectPages = 1, failPages = 1))
+    assertParity(Seq(RecipeRule(spider = Some(".*"), depth = 2)),
+      config = CrawlConfig(perHostBudget = Some(3)),
+      docs = skewed, clue = "skew")
+  }
+}
