@@ -1,0 +1,87 @@
+package graft.engine
+
+import graft.SparkTestSession
+import graft.fixtures.FixtureCorpus
+import graft.model._
+import graft.tableio.TableIO
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/**
+ * Checkpoint/resume gate (north rule; reference exact-resume contract
+ * `spiderfetch.py:169-174` at wave granularity): kill between waves ->
+ * resume from latest snapshot -> final state identical to an
+ * uninterrupted run. Also exercises TableIO snapshot atomicity + lineage.
+ */
+class ResumeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val params = FixtureCorpus.Params(hosts = 3, pagesPerHost = 3,
+    linksPerPage = 3, redirectPages = 1, failPages = 1)
+  private lazy val corpus = FixtureCorpus.generate(params)
+  private val seed = FixtureCorpus.seedUrl(params)
+  private val rules = Seq(RecipeRule(spider = Some(".*"),
+    fetch = Some("(?i).*\\.(txt|bz2)$"), depth = 3))
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag-").toString
+
+  test("kill between waves + resume == uninterrupted run (exact state)") {
+    val full = new CrawlEngine(spark, corpus.toDF, seed, rules,
+      checkpoint = Some(new TableIO(tmpDir("full"), spark))).run()
+
+    val ioDir = tmpDir("interrupted")
+    // interrupted run: stop after wave 2
+    new CrawlEngine(spark, corpus.toDF, seed, rules,
+      checkpoint = Some(new TableIO(ioDir, spark)),
+      stopAfterWaves = Some(2)).run()
+    // resume in a FRESH engine (state only from the snapshot)
+    val resumed = new CrawlEngine(spark, corpus.toDF, seed, rules,
+      checkpoint = Some(new TableIO(ioDir, spark))).resume()
+
+    def seenOf(t: CrawlEngine#CrawlTables) = t.seen.orderBy("seq")
+      .select("url", "wave", "seq").as[(String, Int, Long)].collect.toSeq
+    def procOf(t: CrawlEngine#CrawlTables) = t.processed.orderBy("ord")
+      .select("wave", "url", "mode", "retry")
+      .as[(Int, String, Int, Boolean)].collect.toSeq
+    def dumpOf(t: CrawlEngine#CrawlTables) =
+      t.dump.orderBy("seq").select("url").as[String].collect.toSeq
+    def edgesOf(t: CrawlEngine#CrawlTables) =
+      t.edges.select("src", "dst").as[(String, String)].collect.toSet
+
+    assert(seenOf(resumed) == seenOf(full), "seen")
+    assert(procOf(resumed) == procOf(full), "processed order")
+    assert(dumpOf(resumed) == dumpOf(full), "dump")
+    assert(edgesOf(resumed) == edgesOf(full), "edges")
+  }
+
+  test("snapshot manifest carries per-partition lineage + metrics") {
+    val dir = tmpDir("manifest")
+    val io = new TableIO(dir, spark)
+    new CrawlEngine(spark, corpus.toDF, seed, rules,
+      checkpoint = Some(io)).run()
+    val snap = io.latest.get
+    assert(snap.meta.contains("wave") && snap.meta.contains("seq_counter"))
+    val seenLineage = snap.tables("seen")
+    assert(seenLineage.rows > 0)
+    assert(seenLineage.files.nonEmpty)
+    assert(seenLineage.files.forall(_.bytes > 0))
+    // metrics table has per-partition rows and a totals row per wave
+    val m = io.table(snap, "metrics")
+    assert(m.filter(m("partitionId") === -1).count() == snap.meta("wave").toLong)
+  }
+
+  test("snapshots are versioned and time-travelable") {
+    val dir = tmpDir("versions")
+    val io = new TableIO(dir, spark)
+    new CrawlEngine(spark, corpus.toDF, seed, rules,
+      checkpoint = Some(io)).run()
+    val last = io.latestId.get
+    assert(last >= 1)
+    // earlier snapshot readable; seen table monotonically grows
+    val sizes = (0L to last).map(v => io.read(v).tables("seen").rows)
+    assert(sizes == sizes.sorted, s"seen rows should grow: $sizes")
+  }
+}
