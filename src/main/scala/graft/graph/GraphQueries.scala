@@ -1,0 +1,118 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The crawl-graph analytics surface of `web.py` (reference query tool
+ * `python -m spiderfetch.web`, `web.py:177-226`), re-expressed as plain
+ * DataFrame ops over the normalized relations (SURVEY §2.9 / §2.7) —
+ * no graph library needed; adjacency queries are joins/aggregations.
+ *
+ * Tables: edges(src, dst, wave), seen(url, canonicalHost, wave, seq),
+ * aliases(canonicalUrl, aliasUrl, wave).
+ */
+object GraphQueries {
+
+  /** A1 print_popular (`web.py:122-128`): top-k by in-degree.
+    * Partial+final hash agg + TakeOrderedAndProject for free. */
+  def popular(edges: DataFrame, k: Int = 10): DataFrame =
+    edges.groupBy(col("dst").as("url"))
+      .agg(count(lit(1)).as("in_degree"))
+      .orderBy(desc("in_degree"), asc("url"))
+      .limit(k)
+
+  /** A2 print_multiple (`web.py:130-149`): documents with >1 URL (alias
+    * groups), largest groups first. */
+  def multiple(aliases: DataFrame): DataFrame =
+    aliases.groupBy(col("canonicalUrl"))
+      .agg((count(lit(1)) + 1).as("n_urls"),       // +1: canonical itself
+        sort_array(collect_list(col("aliasUrl"))).as("alias_urls"))
+      .filter(col("n_urls") > 1)
+      .orderBy(desc("n_urls"), asc("canonicalUrl"))
+
+  /** A3 print_stats (`web.py:151-154`): web size. */
+  def stats(seen: DataFrame): DataFrame =
+    seen.agg(count(lit(1)).as("web_size"),
+      approx_count_distinct(col("canonicalHost")).as("approx_hosts"))
+
+  /** G3 print_refs (`web.py:70-77`): out-/in-neighbors of a URL. */
+  def outRefs(edges: DataFrame, url: String): DataFrame =
+    edges.filter(col("src") === url).select(col("dst").as("url"))
+  def inRefs(edges: DataFrame, url: String): DataFrame =
+    edges.filter(col("dst") === url).select(col("src").as("url"))
+
+  /** G4 dump (`web.py:61-63`): all URLs in discovery order. */
+  def dumpUrls(seen: DataFrame): DataFrame =
+    seen.orderBy("seq").select("url")
+
+  /** G5 aliases of a URL (`web.py:79-82`). */
+  def aliasesOf(aliases: DataFrame, url: String): DataFrame =
+    aliases.filter(col("canonicalUrl") === url || col("aliasUrl") === url)
+
+  /**
+   * G1 get_trace (`web.py:84-103`): BFS shortest path from root to a URL
+   * over incoming edges, cycle-safe. Pregel-style driver loop of joins;
+   * iteration count bounded by crawl depth. Returns hops (step, url) root
+   * -> target, empty when unreachable.
+   */
+  def trace(spark: SparkSession, edges: DataFrame, root: String,
+            target: String, maxDepth: Int = 64): Seq[String] = {
+    import spark.implicits._
+    if (root == target) return Seq(root)
+    // BFS backwards from target via incoming edges, tracking the path
+    var frontier = Seq((target, Seq(target))).toDF("url", "path")
+    var visited = Seq(target).toDF("url").persist()
+    var depth = 0
+    while (depth < maxDepth) {
+      depth += 1
+      val next = frontier
+        .join(edges, frontier("url") === edges("dst"))
+        .select(col("src").as("url"),
+          concat(col("path"), array(col("src"))).as("path"))
+        .join(visited.withColumnRenamed("url", "v"), col("url") === col("v"), "left_anti")
+      // first-wins per url for determinism (shortest path uniqueness)
+      val dedup = next.groupBy("url").agg(min_by(col("path"), size(col("path"))
+        ).as("path")).persist()
+      val hit = dedup.filter(col("url") === root).select("path")
+        .as[Seq[String]].collect().headOption
+      if (hit.isDefined) return hit.get.reverse
+      if (dedup.limit(1).count() == 0) return Seq.empty
+      visited = visited.unionByName(dedup.select("url")).persist()
+      frontier = dedup
+    }
+    Seq.empty
+  }
+
+  /**
+   * G2 deepest_url (`web.py:106-114`): the URL furthest from root. One
+   * multi-source BFS from root computing distances — O(depth) joins, not
+   * O(N) traces like the reference.
+   */
+  def deepest(spark: SparkSession, edges: DataFrame, root: String,
+              maxDepth: Int = 64): (String, Int) = {
+    import spark.implicits._
+    var dist = Seq((root, 0)).toDF("url", "d").persist()
+    var frontier = dist
+    var depth = 0
+    var last = (root, 0)
+    while (depth < maxDepth) {
+      depth += 1
+      val next = frontier
+        .join(edges, frontier("url") === edges("src"))
+        .select(col("dst").as("url"), lit(depth).as("d"))
+        .join(dist.select(col("url").as("v")), col("url") === col("v"), "left_anti")
+        .distinct()
+        .persist()
+      val n = next.count()
+      if (n == 0) {
+        return last
+      }
+      last = next.orderBy(asc("url")).select("url", "d")
+        .as[(String, Int)].head()
+      dist = dist.unionByName(next.select("url", "d")).persist()
+      frontier = next
+    }
+    last
+  }
+}

@@ -1,0 +1,45 @@
+package graft.graph
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphQueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // a -> b -> c -> d, a -> c, plus cycle c <-> b
+  private lazy val edges = Seq(
+    ("a", "b", 1), ("b", "c", 1), ("c", "d", 2), ("a", "c", 1), ("c", "b", 2)
+  ).toDF("src", "dst", "wave")
+
+  test("popular: top-k by in-degree, deterministic tiebreak") {
+    val got = GraphQueries.popular(edges, 3)
+      .as[(String, Long)].collect.toSeq
+    assert(got == Seq(("b", 2L), ("c", 2L), ("d", 1L)))
+  }
+
+  test("trace: BFS shortest path root->target over incoming edges") {
+    assert(GraphQueries.trace(spark, edges, "a", "d") == Seq("a", "c", "d"))
+    assert(GraphQueries.trace(spark, edges, "a", "a") == Seq("a"))
+  }
+
+  test("trace: cycle-safe, unreachable returns empty (web.py self-test b<->c)") {
+    // reference self-test (web.py:190-206): loop b<->c with no path from a
+    val cyc = Seq(("c", "b", 1), ("b", "c", 1)).toDF("src", "dst", "wave")
+    assert(GraphQueries.trace(spark, cyc, "a", "c", maxDepth = 8) == Seq.empty)
+  }
+
+  test("deepest: furthest url from root via multi-source BFS") {
+    assert(GraphQueries.deepest(spark, edges, "a") == ("d", 2))
+  }
+
+  test("refs and aliases filters") {
+    assert(GraphQueries.outRefs(edges, "a").as[String].collect.toSet == Set("b", "c"))
+    assert(GraphQueries.inRefs(edges, "c").as[String].collect.toSet == Set("b", "a"))
+    val aliases = Seq(("u1", "u2", 1), ("u1", "u3", 1)).toDF("canonicalUrl", "aliasUrl", "wave")
+    assert(GraphQueries.aliasesOf(aliases, "u2").count() == 1)
+    val m = GraphQueries.multiple(aliases).as[(String, Long, Seq[String])].collect.toSeq
+    assert(m == Seq(("u1", 3L, Seq("u2", "u3"))))
+  }
+}
