@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deduplication operators for web-scale training corpora. Scale shape:
+ * everything is shuffle-by-key (hash-partitioned group/join), no driver
+ * loops, no cartesian products — candidate pairs only ever form inside
+ * LSH/band buckets, which bounds the blow-up by design (band tuning).
+ *
+ *  - exact: one hash-aggregate over a normalized fingerprint.
+ *  - MinHash+LSH: shingle -> k-minhash signature (nested higher-order
+ *    expressions, codegen'd, no UDFs) -> banding -> bucket join -> verify
+ *    with true Jaccard. The classic Broder/MMDS pipeline.
+ *  - SimHash: 64-bit sign-aggregated token hash; near-dup = small hamming
+ *    distance, blocked by 16-bit prefix bands (Charikar'02, Manku'07).
+ *  - n-gram Jaccard: exact verify kernel used by the LSH stage.
+ *  - embedding cosine: near-dup by cosine >= threshold within LSH buckets
+ *    (see Similarity for the hyperplane bucketing).
+ */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by normalized-content fingerprint: keeps the smallest id
+    * per group (deterministic), reports group size. One shuffle. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Rows surviving exact dedup (first-wins by id). */
+  def exactSurvivors(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Character n-gram shingle set as an array column (distinct). */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    val idx = sequence(lit(0), greatest(length(norm) - n, lit(0)))
+    array_distinct(transform(idx, i => norm.substr(i + 1, lit(n))))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i =>
+      array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Exact Jaccard similarity of two array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** k-function MinHash signature over a shingle array — nested built-in
+    * HOFs only: sig[i] = min over shingles of xxhash64(i, shingle). */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(shingleCol, s => xxhash64(i, s))))
+
+  /**
+   * MinHash-LSH candidate pairs: signatures banded into `bands` groups of
+   * rows; docs sharing any band bucket become candidates; candidates are
+   * verified with exact Jaccard over the shingles. Returns pairs
+   * (id_a < id_b, jaccard >= threshold).
+   */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val withSig = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("sh", shingles(col("t"), shingleN))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    // explode into (band_idx, band_hash) bucket keys
+    val banded = withSig.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(b, array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ","))))
+          .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens, as a pure column expression:
+    * bit b of the result = sign of sum over tokens of ±1 depending on bit
+    * b of xxhash64(token). */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    // fold bits: for each bit position, count of ones minus zeros
+    val bitExprs = (0 until 64).map { b =>
+      val ones = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1).cast("int"))
+      // bit set iff ones > n/2 (majority)
+      when(ones * 2 > size(toks), shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitExprs.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs: block by the four 16-bit prefix bands (a pair
+   * within hamming distance <= 3 shares at least one identical band —
+   * Manku et al., WWW'07), then verify hamming <= maxDistance.
+   */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Int = 3): DataFrame = {
+    val withSim = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("simh", simhash(col("t")))
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simh"), b * 16).bitwiseAND(lit(0xffffL)))
+    val banded = withSim.select(col("id"), col("simh"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("simh").as("simh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("simh").as("simh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "simh_a", "simh_b").distinct()
+      .withColumn("hamming", hamming(col("simh_a"), col("simh_b")))
+      .filter(col("hamming") <= maxDistance)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicates within hyperplane-LSH buckets. */
+  def embeddingNearDups(spark: SparkSession, embeddings: DataFrame,
+                        idCol: String, vecCol: String,
+                        threshold: Double = 0.95, bits: Int = 12,
+                        dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val bucketed = Similarity.withHyperplaneBucket(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "v", bits, dim, seed)
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * language ID (n-gram/marker heuristic), quality scoring, token counting
+ * (whitespace + BPE-ish estimate), document fingerprinting. All built-in
+ * column expressions (whole-stage codegen; no UDFs), each with an exact
+ * ANSI-SQL twin for the DuckDB oracle — formulas use only
+ * length/replace/regexp primitives that behave identically in both
+ * engines.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-safe. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** BPE-ish subword estimate: ~3.5 chars/token, integer-exact formula
+    * (mirrorable in ANSI SQL without float rounding hazards). */
+  def bpeTokenEstimate(text: Column): Column =
+    ((length(text) * 2 + 6) / 7).cast("long")
+
+  /** Occurrence count of a literal marker via the replace trick —
+    * identical semantics in Spark and DuckDB. */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) /
+      marker.length).cast("long")
+
+  /** Language-ID marker words per language (padded to word boundaries). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " que "),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Heuristic language ID: argmax of marker-hit counts, deterministic
+    * tie-break by marker-list order, 'und' when nothing hits. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = LangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => occurrences(padded, m)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality-scoring features: length, word stats, char-class ratios. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("double")
+    val nTok = tokenCount(t).cast("double")
+    val safeLen = greatest(len, lit(1.0))
+    df
+      .withColumn("n_chars_q", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("mean_word_len",
+        round((len - (nTok - 1)) / greatest(nTok, lit(1.0)), 4))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(t, "[^.,;:!?'\"()\\[\\]-]", "")) / safeLen, 4))
+      .withColumn("digit_ratio",
+        round(length(regexp_replace(t, "[^0-9]", "")) / safeLen, 4))
+      .withColumn("upper_ratio",
+        round(length(regexp_replace(t, "[^A-Z]", "")) / safeLen, 4))
+      .withColumn("space_ratio",
+        round(length(regexp_replace(t, "[^ ]", "")) / safeLen, 4))
+  }
+
+  /** Composite quality score in [0,1]: longer docs with word-like shape
+    * score higher; degenerate punctuation/digit walls score low. */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame =
+    qualityFeatures(df, textCol).withColumn("quality_score",
+      round(
+        least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5) +
+        (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) * lit(0.25) +
+        (lit(1.0) - least(col("digit_ratio") * 5, lit(1.0))) * lit(0.25), 4))
+
+  /** Normalized-content fingerprint: md5 over lowercased,
+    * whitespace-collapsed text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Rolling (polynomial) hash over the normalized text — cheap
+    * content-defined fingerprint usable for chunk-level dedup. Pure
+    * integer column expression via aggregate over characters is
+    * impractical; use 8-gram sampled xxhash instead: hash of every
+    * stride-th 8-gram, combined order-independently. */
+  def rollingFingerprint(text: Column, stride: Int = 16): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    val idx = sequence(lit(0),
+      greatest(((length(norm) - 8) / stride).cast("int"), lit(0)))
+    val grams = transform(idx, i => norm.substr(i * stride + 1, lit(8)))
+    aggregate(transform(grams, g => xxhash64(g)), lit(0L), (acc, h) => acc.bitwiseXOR(h))
+  }
+}

@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tokenCount / bpeTokenEstimate / langId column semantics") {
+    val df = Seq(
+      (1L, "the cat and the hat of oz"),
+      (2L, "der hund und die katze der"),
+      (3L, ""),
+      (4L, "  spaced   out  ")).toDF("id", "text")
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      .withColumn("n_bpe", TextAnalysis.bpeTokenEstimate(col("text")))
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+    val rows = df.orderBy("id")
+      .select("n_tok", "lang").as[(Long, String)].collect.toSeq
+    assert(rows.map(_._1) == Seq(7L, 6L, 0L, 2L))
+    assert(rows(0)._2 == "en")
+    assert(rows(1)._2 == "de")
+    assert(rows(2)._2 == "und")
+  }
+
+  test("quality score: word-like text beats punctuation walls") {
+    val df = Seq(
+      (1L, "a sensible sentence with ordinary words flowing along nicely"),
+      (2L, "!!!???;;;...,,,!!!???;;;...,,,")).toDF("doc_id", "text")
+    val s = TextAnalysis.qualityScore(df)
+      .orderBy("doc_id").select("quality_score").as[Double].collect
+    assert(s(0) > s(1))
+    assert(s.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("exact dedup: duplicates collapse to min id; survivors first-wins") {
+    val df = Seq(
+      (10L, "same text here"), (3L, "same   TEXT here "), (5L, "unique one")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exact(df).orderBy("keep_id")
+      .select("keep_id", "group_size").as[(Long, Long)].collect.toSeq
+    assert(groups == Seq((3L, 2L), (5L, 1L)))
+    val surv = Dedup.exactSurvivors(df).select("doc_id").as[Long].collect.toSet
+    assert(surv == Set(3L, 5L))
+  }
+
+  test("shingles + jaccard kernel") {
+    val df = Seq((1L, "abcdef"), (2L, "abcdeg")).toDF("id", "text")
+      .withColumn("sh", Dedup.shingles(col("text"), 3))
+    val j = df.as("a").crossJoin(df.as("b"))
+      .filter($"a.id" === 1 && $"b.id" === 2)
+      .select(Dedup.jaccard($"a.sh", $"b.sh")).as[Double].head()
+    // shingles(abcdef,3) = {abc,bcd,cde,def}; (abcdeg) = {abc,bcd,cde,deg}
+    assert(math.abs(j - 3.0 / 5.0) < 1e-9)
+  }
+
+  test("minhash-LSH finds the planted near-duplicate pair only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val nearDup = base.replace("lazy", "sleepy")
+    val docs = Seq(
+      (1L, base), (2L, nearDup),
+      (3L, "completely different content about spark shuffles and parquet"),
+      (4L, "yet another unrelated document mentioning minhash banding"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 5, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical=0 distance, near-dup small, different large") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally different words nothing shared at all here"))
+      .toDF("id", "text").withColumn("s", Dedup.simhash(col("text")))
+    val s = df.orderBy("id").select("s").as[Long].collect
+    assert(java.lang.Long.bitCount(s(0) ^ s(1)) <
+      java.lang.Long.bitCount(s(0) ^ s(2)))
+    val pairs = Dedup.simhashPairs(
+      Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z q"))
+        .toDF("id", "text"), "id", "text", maxDistance = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("brute-force cosine top-k on real embeddings; self is rank 1") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.orderBy("vec_id").select("embedding")
+      .as[Seq[Float]].head()
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect.toSeq
+    assert(top.head._1 == 0L && math.abs(top.head._2 - 1.0) < 1e-4)
+    assert(top.map(_._2) == top.map(_._2).sorted.reverse)
+  }
+
+  test("IVF ANN: recall@10 >= 0.6 while probing a fraction of the cells") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+    val q = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect.toSet
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      cells = 16, nprobe = 6).select("vec_id").as[Long].collect.toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    // and the probe prunes: scanned candidates well under the full table
+    val cents = Similarity.sampledCentroids(emb, "vec_id", "embedding", 16)
+    val scanned = Similarity.withIvfCell(emb, "embedding", cents)
+      .groupBy("cell").count().orderBy(desc("count")).limit(6)
+      .agg(sum("count")).as[Long].head()
+    assert(scanned < emb.count(), s"scanned $scanned")
+  }
+
+  test("hyperplane LSH top-k returns plausible neighbors (bucketed path)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+    val q = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
+      bits = 6, multiprobe = 6).as[(Long, Double)].collect.toSeq
+    assert(approx.nonEmpty && approx.head._1 == 0L) // self lands in own bucket
+  }
+
+  test("embedding near-dup via LSH buckets finds planted duplicate vector") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v0 = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
+    val planted = emb.unionByName(
+      Seq((99999L, v0, 0)).toDF("vec_id", "embedding", "label"))
+    val dups = Dedup.embeddingNearDups(spark, planted, "vec_id", "embedding",
+      threshold = 0.999, bits = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(dups.contains((0L, 99999L)))
+  }
+
+  test("multimodal: batch decode plumbing — schema, shapes, determinism") {
+    val media = Multimodal.synthesize(spark, 60)
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() == 60)
+    val f = feats.filter($"media_id" === 7L).head()
+    assert(f.feature.length == Multimodal.MediaCodec.FeatureDim)
+    assert(f.decoded_ok)
+    // deterministic: second run identical
+    val again = Multimodal.extractFeatures(media)
+      .filter($"media_id" === 7L).head()
+    assert(f.feature == again.feature && f.n_frames == again.n_frames)
+    val plan = Multimodal.frameSamplePlan(feats.toDF, stride = 4)
+    assert(plan.filter(size(col("sampled_frames")) < 1).count() == 0)
+    val repart = Multimodal.repartitionBySize(spark, media.toDF, 4096)
+    assert(repart.rdd.getNumPartitions >= 2)
+  }
+
+  test("rolling fingerprint: stable under reordering-free duplication") {
+    val df = Seq((1L, "some stable content for rolling hash fingerprints"),
+                 (2L, "some stable content for rolling hash fingerprints"),
+                 (3L, "different content entirely for the rolling hash"))
+      .toDF("id", "text")
+      .withColumn("rfp", TextAnalysis.rollingFingerprint(col("text")))
+    val v = df.orderBy("id").select("rfp").as[Long].collect
+    assert(v(0) == v(1) && v(0) != v(2))
+  }
+}
