@@ -1,13 +1,68 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each entry is one operator family from SURVEY §2; oracleSql carries the
+  * DuckDB twin where ANSI SQL can express the semantics (crawl-engine and
+  * LSH/ANN queries are gated by the sbt parity suites instead). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the README query shape (`README.rst:27-37` — "crawl a page,
+    * act on matching URLs") — a recipe-driven crawl of the fixture web;
+    * returns the final URL-seen set in discovery order. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.crawlSeen(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // crawl engine (reference semantics; sbt parity gate)
+    "crawl_seen" -> (Queries.crawlSeen _),
+    "crawl_order" -> (Queries.crawlOrder _),
+    "crawl_dump" -> (Queries.crawlDump _),
+    "crawl_edges" -> (Queries.crawlEdges _),
+    "crawl_aliases" -> (Queries.crawlAliases _),
+    "crawl_fetch_log" -> (Queries.crawlFetchLog _),
+    "crawl_indegree" -> (Queries.crawlIndegree _),
+    "crawl_metrics" -> (Queries.crawlMetrics _),
+    "extract_testcases" -> (Queries.extractTestcases _),
+    "url_canon" -> (Queries.urlCanon _),
+    // relational operators (DuckDB-oracled)
+    "q1_agg" -> (Queries.q1Agg _),
+    "q2_join_revenue" -> (Queries.q2JoinRevenue _),
+    "q3_topk_customers" -> (Queries.q3TopkCustomers _),
+    "q4_first_event" -> (Queries.q4FirstEvent _),
+    "q5_anti_join" -> (Queries.q5AntiJoin _),
+    "q6_semi_join" -> (Queries.q6SemiJoin _),
+    "q7_running_sum" -> (Queries.q7RunningSum _),
+    "q8_time_bucket" -> (Queries.q8TimeBucket _),
+    // text/training pipeline (DuckDB-oracled)
+    "q9_tokens" -> (Queries.q9Tokens _),
+    "q10_quality" -> (Queries.q10Quality _),
+    "q11_lang_id" -> (Queries.q11LangId _),
+    "q12_exact_dedup" -> (Queries.q12ExactDedup _),
+    "q13_source_stats" -> (Queries.q13SourceStats _),
+    "q16_embed_topk" -> (Queries.q16EmbedTopk _),
+    // pipeline, rows-only (sbt-tested against in-repo oracles)
+    "q14_minhash_pairs" -> (Queries.q14MinhashPairs _),
+    "q15_simhash_pairs" -> (Queries.q15SimhashPairs _),
+    "q17_ivf_ann" -> (Queries.q17IvfAnn _),
+    "q18_embed_near_dups" -> (Queries.q18EmbedNearDups _),
+    "q19_ngram_jaccard" -> (Queries.q19NgramJaccard _),
+    "q20_multimodal_features" -> (Queries.q20MultimodalFeatures _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> Queries.q1Sql,
+    "q2_join_revenue" -> Queries.q2Sql,
+    "q3_topk_customers" -> Queries.q3Sql,
+    "q4_first_event" -> Queries.q4Sql,
+    "q5_anti_join" -> Queries.q5Sql,
+    "q6_semi_join" -> Queries.q6Sql,
+    "q7_running_sum" -> Queries.q7Sql,
+    "q8_time_bucket" -> Queries.q8Sql,
+    "q9_tokens" -> Queries.q9Sql,
+    "q10_quality" -> Queries.q10Sql,
+    "q11_lang_id" -> Queries.q11Sql,
+    "q12_exact_dedup" -> Queries.q12Sql,
+    "q13_source_stats" -> Queries.q13Sql,
+    "q16_embed_topk" -> Queries.q16Sql)
 }

@@ -72,11 +72,6 @@ class CrawlEngine(
   private var waveNo: Int = 0
   private var sketch: SeenFilter = SeenFilter.empty
 
-  final case class CrawlTables(
-      seen: DataFrame, processed: DataFrame, dump: DataFrame,
-      edges: DataFrame, aliases: DataFrame, fetchLog: DataFrame,
-      robotsBlocked: DataFrame, metrics: DataFrame)
-
   private def tables = CrawlTables(seen, processed, dumped,
     edges.groupBy("src", "dst").agg(min("wave").as("wave")),
     aliases, fetchLog, robotsBlocked, metrics)
@@ -486,6 +481,12 @@ class CrawlEngine(
     }
   }
 }
+
+/** Crawl output tables (the persisted relations of SURVEY §1.2). */
+final case class CrawlTables(
+    seen: DataFrame, processed: DataFrame, dump: DataFrame,
+    edges: DataFrame, aliases: DataFrame, fetchLog: DataFrame,
+    robotsBlocked: DataFrame, metrics: DataFrame)
 
 /** Rewritten+canonicalized extraction candidate (engine-internal). */
 final case class CandidateRow(

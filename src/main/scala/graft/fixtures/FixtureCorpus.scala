@@ -95,15 +95,24 @@ object FixtureCorpus {
       docs += CorpusDoc(pageUrl(h, pg), spans.toSeq)
     }
 
-    // redirect pages: redirect$i.html 30x-redirects to a real page; linked
-    // from host pages via an extra span on page0 of each host.
+    // redirect pages: redirect$i.html 30x-redirects to a dedicated target
+    // page nothing else links to (so the alias branch actually fires);
+    // redirect1 additionally points at an ALREADY-SEEN page to exercise
+    // the DuplicateUrlWarning drop (spiderfetch.py:96-97).
     for (i <- 0 until p.redirectPages) {
       val h = i % p.hosts
-      val target = pageUrl(h, 1 % pageCount(h))
+      val target =
+        if (i == 1) pageUrl(h, 1 % pageCount(h)) // duplicate branch
+        else s"http://${hostName(h)}/d$h/rtarget$i.html"
       docs += CorpusDoc(
         s"http://${hostName(h)}/d$h/redirect$i.html",
         Nil,
         redirect_to = Some(target))
+      if (i != 1)
+        docs += CorpusDoc(s"http://${hostName(h)}/d$h/rtarget$i.html",
+          Seq(
+            Span("text", "redirect landing page", "", 0),
+            Span("link", pageUrl(h, 0), "", 30)))
     }
     // temporal-failure pages: first fetch attempt times out, retry succeeds
     for (i <- 0 until p.failPages) {

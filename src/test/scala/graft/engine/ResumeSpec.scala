@@ -41,14 +41,14 @@ class ResumeSpec extends AnyFunSuite {
     val resumed = new CrawlEngine(spark, corpus.toDF, seed, rules,
       checkpoint = Some(new TableIO(ioDir, spark))).resume()
 
-    def seenOf(t: CrawlEngine#CrawlTables) = t.seen.orderBy("seq")
+    def seenOf(t: CrawlTables) = t.seen.orderBy("seq")
       .select("url", "wave", "seq").as[(String, Int, Long)].collect.toSeq
-    def procOf(t: CrawlEngine#CrawlTables) = t.processed.orderBy("ord")
+    def procOf(t: CrawlTables) = t.processed.orderBy("ord")
       .select("wave", "url", "mode", "retry")
       .as[(Int, String, Int, Boolean)].collect.toSeq
-    def dumpOf(t: CrawlEngine#CrawlTables) =
+    def dumpOf(t: CrawlTables) =
       t.dump.orderBy("seq").select("url").as[String].collect.toSeq
-    def edgesOf(t: CrawlEngine#CrawlTables) =
+    def edgesOf(t: CrawlTables) =
       t.edges.select("src", "dst").as[(String, String)].collect.toSet
 
     assert(seenOf(resumed) == seenOf(full), "seen")
