@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(16000000L)
+    args.drop(1).headOption.map(_.split(",").map(_.toInt)).getOrElse(Array(2, 8)).foreach { c =>
+      val s = SparkSession.builder().master(s"local[$c]")
+        .appName(s"probe$c").config("spark.sql.shuffle.partitions", c.toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      val (thr, _) = Bench.frontierThroughput(s, n)
+      println(s"PROBE cores=$c thr=${thr.toLong}")
+      s.stop()
+    }
+  }
+}

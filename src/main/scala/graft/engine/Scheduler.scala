@@ -42,15 +42,42 @@ object Scheduler {
      decided.filter(!col("_allowed")).select(cols: _*))
   }
 
-  /** Politeness dequeue: stable first-k-per-host chunk of the pending
-    * frontier, FIFO (seq) priority within host. Returns (chunk, rest).
-    * One shuffle (by host); the window is the priority queue. */
+  /**
+   * Politeness dequeue: stable first-k-per-host chunk of the pending
+   * frontier, FIFO (seq) priority within host. Returns (chunk, rest).
+   *
+   * Skew-safe two-phase top-k (SURVEY §4.3.3): phase 1 ranks within
+   * (host, salt) and keeps ≤ k per salt slice — an EXACT superset of the
+   * per-host top-k, so a hot host fans across `saltBuckets` tasks instead
+   * of serializing one; phase 2 ranks the ≤ k·saltBuckets survivors per
+   * host exactly. Rest = pending ∖ chunk (anti-join on the unique seq).
+   */
+  /** Salt column derivation — deterministic from the url, so a stored
+    * frontier can be pre-partitioned by (host, _salt) and the phase-1
+    * window needs no shuffle at all. */
+  def saltCol(saltBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(col("url")), lit(math.max(saltBuckets, 1)))
+
   def dequeueChunk(pending: DataFrame, perHostBudget: Int,
-                   priority: String = "seq"): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col("host")).orderBy(col(priority))
-    val ranked = pending.withColumn("_hrk", row_number().over(w))
-    (ranked.filter(col("_hrk") <= perHostBudget).drop("_hrk"),
-     ranked.filter(col("_hrk") > perHostBudget).drop("_hrk"))
+                   priority: String = "seq",
+                   saltBuckets: Int = 16): (DataFrame, DataFrame) = {
+    val w1 = Window.partitionBy(col("host"), col("_salt")).orderBy(col(priority))
+    val w2 = Window.partitionBy(col("host")).orderBy(col(priority))
+    val salted =
+      if (pending.columns.contains("_salt")) pending // pre-salted storage layout
+      else pending.withColumn("_salt", saltCol(saltBuckets))
+    // explicit partition count on the phase-2 exchange: AQE would coalesce
+    // this (small) shuffle to one partition and serialize the merge window
+    val nPart = pending.sparkSession.sessionState.conf.numShufflePartitions
+    val chunk = salted
+      .withColumn("_srk", row_number().over(w1))
+      .filter(col("_srk") <= perHostBudget)      // exact superset of top-k
+      .repartition(nPart, col("host"))
+      .withColumn("_hrk", row_number().over(w2)) // exact rank on the pruned set
+      .filter(col("_hrk") <= perHostBudget)
+      .drop("_salt", "_srk", "_hrk")
+    val rest = pending.join(chunk.select("seq"), Seq("seq"), "left_anti")
+    (chunk, rest)
   }
 
   /**

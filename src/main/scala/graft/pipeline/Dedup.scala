@@ -68,11 +68,51 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
-  /** k-function MinHash signature over a shingle array — nested built-in
-    * HOFs only: sig[i] = min over shingles of xxhash64(i, shingle). */
-  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleCol, s => xxhash64(i, s))))
+  // --- JVM-side minhash kernel: one tight JIT loop per document.
+  // Interpreted nested higher-order expressions evaluate ~50x slower here
+  // (they sit outside whole-stage codegen), and at 100 TB the signature
+  // pass dominates — so it runs as a typed mapPartitions (SURVEY §2.11:
+  // typed map, not a black-box SQL UDF).
+
+  /** Normalized char n-gram shingle set (JVM twin of `shingles`). */
+  private[pipeline] def shingleSet(text: String, n: Int): Array[String] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.length < n) {
+      if (norm.isEmpty) Array.empty else Array(norm)
+    } else {
+      val set = new scala.collection.mutable.HashSet[String]
+      var i = 0
+      while (i + n <= norm.length) { set += norm.substring(i, i + n); i += 1 }
+      set.toArray
+    }
+  }
+
+  /** splitmix64 finalizer — cheap per-seed remix of one base hash. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** k-function MinHash signature: sig[i] = min over shingles of
+    * mix(fnv(shingle) ^ seed_i) — shingle hashed once, remixed k times. */
+  private[pipeline] def minhashSig(shingles: Array[String], k: Int): Array[Long] = {
+    val base = shingles.map(graft.seenset.CuckooFilter.hash64)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < base.length) {
+      val h = base(i)
+      var s = 0
+      while (s < k) {
+        val v = mix64(h ^ (s * 0xc2b2ae3d27d4eb4fL))
+        if (v < sig(s)) sig(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
 
   /**
    * MinHash-LSH candidate pairs: signatures banded into `bands` groups of
@@ -86,16 +126,29 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
     val withSig = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("sh", shingles(col("t"), shingleN))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    // explode into (band_idx, band_hash) bucket keys
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          val sh = shingleSet(t, shingleN)
+          if (sh.isEmpty) None
+          else {
+            val sig = minhashSig(sh, k)
+            val bandKeys = Array.tabulate(bands) { b =>
+              var h = 0xcbf29ce484222325L ^ b
+              var j = b * r
+              while (j < (b + 1) * r) { h = (h ^ sig(j)) * 0x100000001b3L; j += 1 }
+              h
+            }
+            Some((id, sh.toSeq, bandKeys.toSeq))
+          }
+        }
+      }.toDF("id", "sh", "bandkeys")
     val banded = withSig.select(col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(b, array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ","))))
-          .as(Seq("band", "bucket")))
+      posexplode(col("bandkeys")).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"),
@@ -134,10 +187,32 @@ object Dedup {
    * within hamming distance <= 3 shares at least one identical band —
    * Manku et al., WWW'07), then verify hamming <= maxDistance.
    */
+  /** JVM simhash kernel: one pass over tokens, 64 counters. */
+  private[pipeline] def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var n = 0
+    text.split("\\s+").foreach { t =>
+      if (t.nonEmpty) {
+        n += 1
+        val h = mix64(graft.seenset.CuckooFilter.hash64(t))
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > n) out |= (1L << b); b += 1 }
+    out
+  }
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3): DataFrame = {
-    val withSim = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("simh", simhash(col("t")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withSim = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .toDF("id", "simh")
     val bandCols = (0 until 4).map(b =>
       shiftright(col("simh"), b * 16).bitwiseAND(lit(0xffffL)))
     val banded = withSim.select(col("id"), col("simh"),
