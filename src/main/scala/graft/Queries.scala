@@ -348,7 +348,7 @@ object Queries {
   def q14MinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
       withPlantedDups(s.read.parquet(p(dir, "documents"))),
-      "doc_id", "text", shingleN = 5, k = 64, bands = 16, threshold = 0.6)
+      "doc_id", "text", shingleN = 5, k = 128, bands = 16, threshold = 0.6)
       .orderBy("id_a", "id_b")
 
   def q15SimhashPairs(s: SparkSession, dir: String): DataFrame =

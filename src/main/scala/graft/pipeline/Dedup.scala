@@ -147,18 +147,24 @@ object Dedup {
           }
         }
       }.toDF("id", "sh", "bandkeys")
-    val banded = withSig.select(col("id"), col("sh"),
+    val sigs = withSig.persist()
+    val banded = sigs.select(col("id"),
       posexplode(col("bandkeys")).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    // candidate pairs as bare ids first (cheap distinct), THEN rejoin the
+    // shingle arrays once per surviving pair — arrays never ride the
+    // bucket-join shuffle
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val out = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    out
   }
 
   // -------------------------------------------------------------- simhash
