@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming extension (SURVEY §2.10): the reference is batch
+ * with incremental checkpointing; its wave loop is a BSP superstep, which
+ * the engine keeps batch. These operators are the documented continuous
+ * path — the same logical transforms running incrementally:
+ *
+ *  - windowed event aggregation with watermarks (late-data bounded) — the
+ *    streaming twin of the batch time-bucket query;
+ *  - a stateful first-seen URL dedup via mapGroupsWithState — the
+ *    streaming twin of the frontier's seen-set anti-join (J1).
+ *
+ * Both run identically from `readStream` sources; tests drive them with
+ * file sources + Trigger.AvailableNow for deterministic replay.
+ */
+object Streaming {
+
+  /** Windowed counts with a watermark: append-mode safe. */
+  def windowedEventCounts(events: DataFrame,
+                          window_ : String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).getField("start").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+
+  final case class UrlEvent(url: String, host: String, seq: Long)
+  final case class FirstSeen(url: String, host: String, firstSeq: Long)
+
+  /**
+   * Streaming first-seen dedup: for each URL key, emit exactly one row
+   * (its first occurrence by arrival), keep a boolean state afterwards.
+   * This is the incremental form of the seen-set anti-join — state store
+   * = the seen table, partitioned by key hash exactly like the batch
+   * engine's canonical-host hash partitioning.
+   */
+  def firstSeenUrls(urls: Dataset[UrlEvent]): Dataset[FirstSeen] = {
+    import urls.sparkSession.implicits._
+    urls
+      .groupByKey(_.url)
+      .mapGroupsWithState[Boolean, Option[FirstSeen]](
+        GroupStateTimeout.NoTimeout) {
+        case (url, rows, state: GroupState[Boolean]) =>
+          if (state.exists) None
+          else {
+            val first = rows.minBy(_.seq)
+            state.update(true)
+            Some(FirstSeen(url, first.host, first.seq))
+          }
+      }
+      .flatMap(_.toSeq)
+  }
+
+  /** Batch twin of firstSeenUrls (for test equivalence). */
+  def firstSeenUrlsBatch(urls: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url")).orderBy(col("seq"))
+    urls.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("url"), col("host"), col("seq").as("firstSeq"))
+  }
+}

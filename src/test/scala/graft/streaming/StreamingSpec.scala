@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming windowed counts == batch time-bucket aggregation") {
+    // watermarks need TIMESTAMP (with tz); testdata ts is TIMESTAMP_NTZ
+    val batchDf = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val expected = Streaming.windowedEventCounts(batchDf)
+      .orderBy("w_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect.toSeq
+
+    val dir = Files.createTempDirectory("graft-stream-").toString
+    batchDf.write.mode("overwrite").parquet(s"$dir/in")
+    val fileStream = spark.readStream.schema(batchDf.schema).parquet(s"$dir/in")
+
+    val q = Streaming.windowedEventCounts(fileStream)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("wincounts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("wincounts").orderBy("w_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect.toSeq
+    assert(got == expected)
+  }
+
+  test("streaming first-seen dedup == batch first-wins window") {
+    val rows = Seq(
+      Streaming.UrlEvent("http://h/a", "h", 3),
+      Streaming.UrlEvent("http://h/a", "h", 1),
+      Streaming.UrlEvent("http://h/b", "h", 2),
+      Streaming.UrlEvent("http://g/c", "g", 5),
+      Streaming.UrlEvent("http://h/b", "h", 9))
+    val dir = Files.createTempDirectory("graft-stream2-").toString
+    rows.toDS.write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema(rows.toDS.toDF.schema)
+      .parquet(s"$dir/in")
+      .as[Streaming.UrlEvent]
+    val q = Streaming.firstSeenUrls(stream)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("firstseen")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("firstseen")
+      .select("url", "firstSeq").as[(String, Long)].collect.toSet
+    // one row per distinct url, first by seq within the micro-batch
+    assert(got == Set(("http://h/a", 1L), ("http://h/b", 2L), ("http://g/c", 5L)))
+
+    val batch = Streaming.firstSeenUrlsBatch(rows.toDS.toDF)
+      .select("url", "firstSeq").as[(String, Long)].collect.toSet
+    assert(got == batch)
+  }
+}
