@@ -392,6 +392,63 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The north-rule core operator with a FULL DuckDB oracle: politeness
+    * dequeue (top-k per host by FIFO seq) + seen-set dedup over a
+    * deterministic synthetic frontier. Exercises the engine's skew-safe
+    * two-phase window and the sketch-fronted exact anti-join; the oracle
+    * is the plain one-window + NOT EXISTS formulation — results must be
+    * identical (sketch exactness). */
+  def q21FrontierDequeue(s: SparkSession, dir: String): DataFrame = {
+    val n = 100000L
+    val frontier = s.range(n).select(
+      concat(lit("http://host"), pmod(col("id"), lit(97)),
+        lit(".test/p"), col("id"), lit(".html")).as("url"),
+      concat(lit("host"), pmod(col("id"), lit(97)), lit(".test")).as("host"),
+      col("id").as("seq"))
+    val seen = s.range(0, n, 2).select(
+      concat(lit("http://host"), pmod(col("id"), lit(97)),
+        lit(".test/p"), col("id"), lit(".html")).as("url"))
+    val sketch = graft.seenset.SeenFilter.empty
+    sketch.add(s, seen, "url")
+    val (chunk, _) = graft.engine.Scheduler.dequeueChunk(frontier, 50)
+    graft.seenset.SeenSet.filterNew(s, chunk, seen, "url", Some(sketch))
+      .select("url", "host", "seq")
+      .orderBy("seq")
+  }
+
+  val q21Sql: String =
+    """WITH frontier AS (
+      |  SELECT 'http://host' || (range % 97) || '.test/p' || range || '.html' AS url,
+      |         'host' || (range % 97) || '.test' AS host, range AS seq
+      |  FROM range(100000)),
+      |seen AS (
+      |  SELECT 'http://host' || (range % 97) || '.test/p' || range || '.html' AS url
+      |  FROM range(0, 100000, 2)),
+      |dq AS (
+      |  SELECT url, host, seq,
+      |         row_number() OVER (PARTITION BY host ORDER BY seq) AS rn
+      |  FROM frontier)
+      |SELECT url, host, seq FROM dq
+      |WHERE rn <= 50
+      |  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = dq.url)
+      |ORDER BY seq""".stripMargin
+
+  /** Distributed cuckoo-sketch build over the seen URLs (A5): one sketch
+    * per host partition group, sizes reported (bytes column is the
+    * serialized filter; the query returns its size for determinism). */
+  def q22CuckooSketch(s: SparkSession, dir: String): DataFrame = {
+    val n = 50000L
+    val seen = s.range(n).select(
+      concat(lit("http://host"), pmod(col("id"), lit(7)),
+        lit(".test/p"), col("id"), lit(".html")).as("url"),
+      pmod(col("id"), lit(7)).as("host_bucket"))
+    seen.groupBy("host_bucket")
+      .agg(graft.seenset.CuckooSketchAgg.cuckooSketch(col("url"), 16384)
+        .as("sketch"))
+      .select(col("host_bucket"), length(col("sketch")).as("sketch_bytes"))
+      .orderBy("host_bucket")
+  }
+
   def q20MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Multimodal
     Multimodal.extractFeatures(Multimodal.synthesize(s, 120)).toDF

@@ -48,7 +48,9 @@ object SparkEntry {
     "q17_ivf_ann" -> (Queries.q17IvfAnn _),
     "q18_embed_near_dups" -> (Queries.q18EmbedNearDups _),
     "q19_ngram_jaccard" -> (Queries.q19NgramJaccard _),
-    "q20_multimodal_features" -> (Queries.q20MultimodalFeatures _))
+    "q20_multimodal_features" -> (Queries.q20MultimodalFeatures _),
+    "q21_frontier_dequeue" -> (Queries.q21FrontierDequeue _),
+    "q22_cuckoo_sketch" -> (Queries.q22CuckooSketch _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Queries.q1Sql,
@@ -64,5 +66,6 @@ object SparkEntry {
     "q11_lang_id" -> Queries.q11Sql,
     "q12_exact_dedup" -> Queries.q12Sql,
     "q13_source_stats" -> Queries.q13Sql,
-    "q16_embed_topk" -> Queries.q16Sql)
+    "q16_embed_topk" -> Queries.q16Sql,
+    "q21_frontier_dequeue" -> Queries.q21Sql)
 }

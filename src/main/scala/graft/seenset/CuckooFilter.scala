@@ -105,11 +105,52 @@ final class CuckooFilter private (
     if (ok) count -= 1
     ok
   }
+
+  /** Re-insert a stored fingerprint at bucket i (or its alternate) —
+    * possible because the alternate index is derivable from (i, fp)
+    * alone (partial-key cuckoo hashing). Used by merge. */
+  private[seenset] def insertFingerprint(i: Int, fp: Char): Boolean = {
+    if (bucketInsert(i, fp) || bucketInsert(altIndex(i, fp), fp)) {
+      count += 1; true
+    } else false
+  }
+
+  /** Merge another filter of the SAME size by re-inserting its
+    * fingerprints (alt-index math only holds across equal bucket counts).
+    * Returns false if any insert failed (caller falls back to exact). */
+  def mergeInPlace(other: CuckooFilter): Boolean = {
+    require(other.numBuckets == numBuckets, "cuckoo merge: size mismatch")
+    var ok = true
+    var slot = 0
+    while (slot < other.table.length) {
+      val fp = other.table(slot)
+      if (fp != 0) ok &= insertFingerprint(slot / BucketSize, fp)
+      slot += 1
+    }
+    ok
+  }
+
+  def serialized: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 + table.length * 2)
+    bb.putInt(numBuckets); bb.putInt(0); bb.putLong(count)
+    table.foreach(c => bb.putChar(c))
+    bb.array()
+  }
 }
 
 object CuckooFilter {
   val BucketSize = 4
   val MaxKicks = 500
+
+  def deserialize(bytes: Array[Byte]): CuckooFilter = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buckets = bb.getInt(); bb.getInt()
+    val count = bb.getLong()
+    val table = new Array[Char](buckets * BucketSize)
+    var i = 0
+    while (i < table.length) { table(i) = bb.getChar(); i += 1 }
+    new CuckooFilter(buckets, table, count)
+  }
 
   def create(expectedItems: Long): CuckooFilter = {
     // 95% target load factor for 4-slot buckets
