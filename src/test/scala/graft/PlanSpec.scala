@@ -1,0 +1,91 @@
+package graft
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan hygiene gates (SURVEY §4.2): these assertions pin the
+ * plan shapes that matter at 100 TB — column pruning into the parquet
+ * scan, predicate pushdown, broadcast of small dims, partial aggregation,
+ * TakeOrderedAndProject for top-k, and no cartesian products anywhere.
+ * A regression here is a performance bug even if results stay correct.
+ */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("column pruning: q9 scans only doc_id+text, not the whole table") {
+    val p = plan(Queries.q9Tokens(spark, sf))
+    val readSchema = "ReadSchema: struct<doc_id:bigint,text:string>"
+    assert(p.contains(readSchema), s"expected pruned scan; got:\n$p")
+    assert(!p.contains("n_chars"), "n_chars must not be read")
+  }
+
+  test("predicate pushdown: filters reach the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("small dims broadcast in q2 (no shuffle of nation/region)") {
+    val p = plan(Queries.q2JoinRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (q3)") {
+    val p = plan(Queries.q3TopkCustomers(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not fused:\n$p")
+  }
+
+  test("partial aggregation (map-side combine) in q1") {
+    val p = plan(Queries.q1Agg(spark, sf))
+    assert(p.contains("HashAggregate(keys=[l_returnflag"),
+      s"expected hash aggregate:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation")
+  }
+
+  test("anti-join dedup uses a real join, not a cartesian (q5)") {
+    val p = plan(Queries.q5AntiJoin(spark, sf))
+    assert(p.contains("LeftAnti"), s"expected left-anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the qualify/canonicalize projections") {
+    // AQE hides codegen spans until the final plan: use codegen explain mode
+    val df = Queries.q10Quality(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), s"no codegen spans:\n$p")
+  }
+
+  test("extraction pipeline explodes without shuffle (no exchange before generate)") {
+    import spark.implicits._
+    val doc = graft.model.CorpusDoc("http://h/p", Seq(
+      graft.model.Span("link", "http://h/a", "", 0)))
+    val p = plan(graft.extract.Extract.findall(Seq(doc).toDS.toDF))
+    assert(p.contains("Generate posexplode"), s"expected generate:\n$p")
+    assert(!p.contains("Exchange"), s"extraction must not shuffle:\n$p")
+  }
+
+  test("politeness dequeue: two windows, no cartesian, exchanges bounded") {
+    import spark.implicits._
+    val frontier = spark.range(1000).select(
+      concat(lit("http://h"), pmod(col("id"), lit(7)), lit("/p"), col("id")).as("url"),
+      concat(lit("h"), pmod(col("id"), lit(7))).as("host"),
+      col("id").as("seq"))
+    val (chunk, _) = graft.engine.Scheduler.dequeueChunk(frontier, 10)
+    val p = plan(chunk)
+    assert("Window".r.findAllIn(p).size >= 2, s"expected 2-phase windows:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
