@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.urlcanon.{PyUrl, UrlRewrite}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the URL functions on the hot path
+ * (SURVEY §4.5 optional upgrade (1)): unlike a Scala UDF, these
+ * participate in whole-stage codegen — `doGenCode` emits a direct static
+ * call, the standard pattern of Spark's own string expressions — with
+ * null-safety handled by the UnaryExpression scaffolding (no
+ * serialization round-trip per row, no closure dispatch).
+ *
+ * Registered for SQL via `UrlFunctions.register(spark)`:
+ *   SELECT canonical_host(url), canonical_url(url), url_filename(url) ...
+ */
+object UrlStatics {
+  // static JVM entry points referenced by generated code
+  def canonicalHost(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlRewrite.canonicalHost(url.toString))
+  def canonicalUrl(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlRewrite.canonicalUrl(url.toString))
+  def urlScheme(url: UTF8String): UTF8String =
+    UTF8String.fromString(PyUrl.getScheme(url.toString))
+  def urlFilename(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlRewrite.urlToFilename(url.toString))
+}
+
+abstract class UrlStaticExpr(
+    methodName: String,
+    f: UTF8String => UTF8String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    f(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UrlStatics.$methodName($c)")
+}
+
+case class CanonicalHost(child: Expression)
+    extends UrlStaticExpr("canonicalHost", UrlStatics.canonicalHost) {
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "canonical_host"
+}
+case class CanonicalUrl(child: Expression)
+    extends UrlStaticExpr("canonicalUrl", UrlStatics.canonicalUrl) {
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "canonical_url"
+}
+case class UrlScheme(child: Expression)
+    extends UrlStaticExpr("urlScheme", UrlStatics.urlScheme) {
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_scheme"
+}
+case class UrlFilename(child: Expression)
+    extends UrlStaticExpr("urlFilename", UrlStatics.urlFilename) {
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_filename"
+}
+
+object UrlFunctions {
+  /** Register the native expressions for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("canonical_host",
+      exprs => CanonicalHost(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("canonical_url",
+      exprs => CanonicalUrl(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("url_scheme",
+      exprs => UrlScheme(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("url_filename",
+      exprs => UrlFilename(exprs.head), "built-in")
+  }
+}
