@@ -173,7 +173,7 @@ object Bench {
          |
          || query | sec |
          ||---|---|
-         |${queryTimes.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")}
+         |${queryTimes.map { case (k, v) => f"|| $k | $v%.3f |" }.mkString("\n")}
          |""".stripMargin
     Files.write(benchDir.resolve("BASELINE.md"), md.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

@@ -70,11 +70,24 @@ class CrawlEngine(
   private var seqCounter: Long = 0L
   private var ordCounter: Long = 0L
   private var waveNo: Int = 0
+  private var waveErrorCount: Long = 0L
   private var sketch: SeenFilter = SeenFilter.empty
 
-  private def tables = CrawlTables(seen, processed, dumped,
-    edges.groupBy("src", "dst").agg(min("wave").as("wave")),
-    aliases, fetchLog, robotsBlocked, metrics)
+  private def tables: CrawlTables = {
+    // materialize once: downstream consumers collect these repeatedly
+    if (checkpoint.isEmpty) {
+      processed = processed.localCheckpoint(true)
+      dumped = dumped.localCheckpoint(true)
+      aliases = aliases.localCheckpoint(true)
+      fetchLog = fetchLog.localCheckpoint(true)
+      robotsBlocked = robotsBlocked.localCheckpoint(true)
+      metrics = metrics.localCheckpoint(true)
+      edges = edges.localCheckpoint(true)
+    }
+    CrawlTables(seen, processed, dumped,
+      edges.groupBy("src", "dst").agg(min("wave").as("wave")),
+      aliases, fetchLog, robotsBlocked, metrics)
+  }
 
   // ---------------------------------------------------------------- utils
 
@@ -189,6 +202,7 @@ class CrawlEngine(
 
   private def processWave(queue: DataFrame, rule: RecipeRule, ruleIdx: Int): DataFrame = {
     waveNo += 1
+    waveErrorCount = 0L
     val (admitted0, blocked) = Scheduler.robotsFilter(spark, queue, config.robots)
     val nBlocked = blocked.count()
     if (nBlocked > 0)
@@ -218,8 +232,7 @@ class CrawlEngine(
     }
 
     // per-partition lineage metrics (north rule)
-    val waveErrors = fetchLog
-      .filter(col("wave") === waveNo && col("errorCode") =!= 0).count()
+    val waveErrors = waveErrorCount
     val discN = discovered.count()
     val partRows = queue.groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => WaveMetrics(waveNo, ruleIdx, r.getInt(0),
@@ -286,6 +299,7 @@ class CrawlEngine(
     fetchLog = fetchLog.unionByName(
       seg.select(col("url"), col("mode"), lit(waveNo).as("wave"),
         col("outcome").as("errorCode"), col("attempt")))
+    waveErrorCount += seg.filter(col("outcome") =!= ErrorCode.NONE).count()
 
     // once-only temporal retry (spiderfetch.py:150-154)
     val temporalCodes = ErrorCode.Temporal.toSeq
@@ -406,6 +420,7 @@ class CrawlEngine(
       }
       fetchLog = fetchLog.unionByName(
         Seq(FetchLogEntry(cur, mode, waveNo, outcome, attempt)).toDF)
+      if (outcome != ErrorCode.NONE) waveErrorCount += 1
       if (outcome == ErrorCode.REDIRECT) {
         val loc = doc.get.getString(0)
         val newRaw = PyUrl.urljoin(cur, loc)
@@ -469,15 +484,11 @@ class CrawlEngine(
         robotsBlocked = io.table(snap, "robots_blocked")
         metrics = io.table(snap, "metrics")
       case None =>
-        // in-memory mode: eager localCheckpoint truncates lineage per wave
+        // in-memory mode: only `seen` is re-read during the crawl (dedup
+        // anti-joins, redirect dup checks) — eager-truncate just it per
+        // wave; append-only tables stay lazy and materialize once in
+        // tables() at the end.
         seen = seen.localCheckpoint(true)
-        processed = processed.localCheckpoint(true)
-        dumped = dumped.localCheckpoint(true)
-        edges = edges.localCheckpoint(true)
-        aliases = aliases.localCheckpoint(true)
-        fetchLog = fetchLog.localCheckpoint(true)
-        robotsBlocked = robotsBlocked.localCheckpoint(true)
-        metrics = metrics.localCheckpoint(true)
     }
   }
 }

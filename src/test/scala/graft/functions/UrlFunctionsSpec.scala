@@ -33,7 +33,11 @@ class UrlFunctionsSpec extends AnyFunSuite {
 
   test("expressions run inside whole-stage codegen (no fallback)") {
     UrlFunctions.register(spark)
-    urls.toDF("url").createOrReplaceTempView("urls_t2")
+    // a local Seq relation executes without codegen; use a range scan so
+    // the projection lands inside a WholeStageCodegen subtree
+    spark.range(100).selectExpr(
+      "concat('http://H', id, '.Test:80/p') AS url")
+      .createOrReplaceTempView("urls_t2")
     val df = spark.sql("SELECT canonical_host(url) AS h FROM urls_t2")
     val codegen = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
