@@ -74,6 +74,9 @@ object Queries {
   def crawlMetrics(s: SparkSession, dir: String): DataFrame =
     fixtureCrawl(s).metrics.orderBy("wave", "partitionId")
 
+  def crawlFetched(s: SparkSession, dir: String): DataFrame =
+    fixtureCrawl(s).fetched.orderBy("ord")
+
   /** Standalone extraction (spider --dump shape, §3.3) over the reference's
     * 14 embedded testcases rendered as spans — golden-tested in sbt. */
   def extractTestcases(s: SparkSession, dir: String): DataFrame = {

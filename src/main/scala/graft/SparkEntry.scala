@@ -24,6 +24,7 @@ object SparkEntry {
     "crawl_fetch_log" -> (Queries.crawlFetchLog _),
     "crawl_indegree" -> (Queries.crawlIndegree _),
     "crawl_metrics" -> (Queries.crawlMetrics _),
+    "crawl_fetched" -> (Queries.crawlFetched _),
     "extract_testcases" -> (Queries.extractTestcases _),
     "url_canon" -> (Queries.urlCanon _),
     // relational operators (DuckDB-oracled)

@@ -67,6 +67,7 @@ class CrawlEngine(
   private var fetchLog: DataFrame = _
   private var robotsBlocked: DataFrame = _
   private var metrics: DataFrame = _
+  private var fetched: DataFrame = _  // raw fetched-file log (wave, ord, url)
   private var seqCounter: Long = 0L
   private var ordCounter: Long = 0L
   private var waveNo: Int = 0
@@ -83,10 +84,27 @@ class CrawlEngine(
       robotsBlocked = robotsBlocked.localCheckpoint(true)
       metrics = metrics.localCheckpoint(true)
       edges = edges.localCheckpoint(true)
+      fetched = fetched.localCheckpoint(true)
+    }
+    // collision-safe filenames (ioutils.safe_filename + F8): n-th use of a
+    // base name (in processing order) gets suffix ".n"
+    val fetchedNamed = {
+      import spark.implicits._
+      val named = fetched.select("wave", "ord", "url")
+        .as[(Int, Long, String)]
+        .map { case (w, o, u) => (w, o, u, UrlRewrite.urlToFilename(u)) }
+        .toDF("wave", "ord", "url", "base")
+      val wName = Window.partitionBy(col("base")).orderBy(col("ord"))
+      named
+        .withColumn("_n", row_number().over(wName) - 1)
+        .withColumn("filename",
+          when(col("_n") === 0, col("base"))
+            .otherwise(concat(col("base"), lit("."), col("_n"))))
+        .select("wave", "ord", "url", "filename")
     }
     CrawlTables(seen, processed, dumped,
       edges.groupBy("src", "dst").agg(min("wave").as("wave")),
-      aliases, fetchLog, robotsBlocked, metrics)
+      aliases, fetchLog, robotsBlocked, metrics, fetchedNamed)
   }
 
   // ---------------------------------------------------------------- utils
@@ -125,6 +143,7 @@ class CrawlEngine(
     fetchLog = spark.emptyDataset[FetchLogEntry].toDF
     robotsBlocked = spark.emptyDataset[RobotsBlockedRow].toDF
     metrics = spark.emptyDataset[WaveMetrics].toDF
+    fetched = spark.emptyDataset[FetchedRaw].toDF
     seqCounter = 1L
     ordCounter = 0L
     waveNo = 0
@@ -146,6 +165,7 @@ class CrawlEngine(
     aliases = io.table(snap, "aliases"); fetchLog = io.table(snap, "fetch_log")
     robotsBlocked = io.table(snap, "robots_blocked")
     metrics = io.table(snap, "metrics")
+    fetched = io.table(snap, "fetched")
     seqCounter = snap.meta("seq_counter").toLong
     ordCounter = snap.meta("ord_counter").toLong
     waveNo = snap.meta("wave").toInt
@@ -296,6 +316,13 @@ class CrawlEngine(
     processed = processed.unionByName(
       procOrdered.select("wave", "ord", "url", "mode", "retry"))
 
+    // S5 fetched-file sink: FETCH-mode records move their file to a
+    // collision-safe final name (spiderfetch.py:163-165); the raw log
+    // records processing order, names are derived in tables()
+    fetched = fetched.unionByName(
+      procOrdered.filter(col("mode") === Mode.FETCH)
+        .select(col("wave"), col("ord"), col("url")))
+
     fetchLog = fetchLog.unionByName(
       seg.select(col("url"), col("mode"), lit(waveNo).as("wave"),
         col("outcome").as("errorCode"), col("attempt")))
@@ -444,6 +471,10 @@ class CrawlEngine(
     }
     if (aborted) return (emptyFrontier, emptyFrontier)
 
+    if (mode == Mode.FETCH)
+      fetched = fetched.unionByName(
+        Seq(FetchedRaw(waveNo, ordCounter - 1, cur)).toDF)
+
     val retries =
       if (ErrorCode.isTemporal(finalOutcome) && !retry)
         Seq(FrontierRecord(url, UrlRewrite.canonicalUrl(url),
@@ -476,13 +507,14 @@ class CrawlEngine(
           "seen" -> seen, "processed" -> processed, "dump" -> dumped,
           "edges" -> edges, "aliases" -> aliases, "fetch_log" -> fetchLog,
           "robots_blocked" -> robotsBlocked, "metrics" -> metrics,
-          "queue" -> queue, "outer_queue" -> outer))
+          "fetched" -> fetched, "queue" -> queue, "outer_queue" -> outer))
         // reload: truncates lineage, pins state to the snapshot
         seen = io.table(snap, "seen"); processed = io.table(snap, "processed")
         dumped = io.table(snap, "dump"); edges = io.table(snap, "edges")
         aliases = io.table(snap, "aliases"); fetchLog = io.table(snap, "fetch_log")
         robotsBlocked = io.table(snap, "robots_blocked")
         metrics = io.table(snap, "metrics")
+        fetched = io.table(snap, "fetched")
       case None =>
         // in-memory mode: only `seen` is re-read during the crawl (dedup
         // anti-joins, redirect dup checks) — eager-truncate just it per
@@ -497,7 +529,10 @@ class CrawlEngine(
 final case class CrawlTables(
     seen: DataFrame, processed: DataFrame, dump: DataFrame,
     edges: DataFrame, aliases: DataFrame, fetchLog: DataFrame,
-    robotsBlocked: DataFrame, metrics: DataFrame)
+    robotsBlocked: DataFrame, metrics: DataFrame, fetched: DataFrame)
+
+/** Raw fetched-file log row (names derived at table-build time). */
+final case class FetchedRaw(wave: Int, ord: Long, url: String)
 
 /** Rewritten+canonicalized extraction candidate (engine-internal). */
 final case class CandidateRow(

@@ -37,7 +37,8 @@ object RefCrawler {
       edges: Set[(String, String)],
       aliases: Vector[(String, String)],   // (canonical first-url, alias)
       fetchLog: Vector[FetchLogEntry],
-      robotsBlocked: Vector[String])
+      robotsBlocked: Vector[String],
+      fetched: Vector[(String, String)])   // (url, collision-safe filename)
 
   private sealed trait FetchOutcome
   private case object Success extends FetchOutcome
@@ -83,6 +84,7 @@ object RefCrawler {
     val processed = Vector.newBuilder[ProcessedRow]
     val fetchLog = Vector.newBuilder[FetchLogEntry]
     val robotsBlocked = Vector.newBuilder[String]
+    val fetchedRaw = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // add_url (web.py:36-50): ensure nodes, record edges, skip self-loops
     def addUrl(url: String, children: Seq[String]): Unit = {
@@ -197,7 +199,8 @@ object RefCrawler {
           val urls = UrlRewrite.rewriteUrls(finalUrl, rawUrls)
           qualifyUrls(finalUrl, urls, rule, newqueue)
         }
-        // FETCH mode: file moved to final name (S5) — no frontier effect
+        // FETCH mode: file moved to final name (S5, spiderfetch.py:163-165)
+        if (rec.mode == Mode.FETCH) fetchedRaw += finalUrl
       } catch {
         case _: DuplicateUrlWarning => ()
         case _: UrlRedirectsOffHost => ()
@@ -280,8 +283,18 @@ object RefCrawler {
       }
     }
 
+    // collision-safe filename assignment (ioutils.safe_filename semantics)
+    val nameCounts = mutable.Map.empty[String, Int]
+    val fetched = fetchedRaw.map { u =>
+      val base = UrlRewrite.urlToFilename(u)
+      val k = nameCounts.getOrElse(base, 0)
+      nameCounts(base) = k + 1
+      (u, if (k == 0) base else s"$base.$k")
+    }.toVector
+
     CrawlResult(
       seen.result(), processed.result(), dump.result(),
-      edges.toSet, aliasRows.result(), fetchLog.result(), robotsBlocked.result())
+      edges.toSet, aliasRows.result(), fetchLog.result(), robotsBlocked.result(),
+      fetched)
   }
 }

@@ -68,6 +68,10 @@ class CrawlParitySpec extends AnyFunSuite {
 
     val eBlocked = engine.robotsBlocked.select("url").as[String].collect.toSeq.sorted
     assert(eBlocked == oracle.robotsBlocked.sorted, s"$clue: robots blocked")
+
+    val eFetched = engine.fetched.orderBy("ord")
+      .select("url", "filename").as[(String, String)].collect.toSeq
+    assert(eFetched == oracle.fetched, s"$clue: fetched files")
   }
 
   test("default recipe (spider .* / fetch pattern), depth 1") {

@@ -55,6 +55,9 @@ class ResumeSpec extends AnyFunSuite {
     assert(procOf(resumed) == procOf(full), "processed order")
     assert(dumpOf(resumed) == dumpOf(full), "dump")
     assert(edgesOf(resumed) == edgesOf(full), "edges")
+    def fetchedOf(t: CrawlTables) = t.fetched.orderBy("ord")
+      .select("url", "filename").as[(String, String)].collect.toSeq
+    assert(fetchedOf(resumed) == fetchedOf(full), "fetched")
   }
 
   test("snapshot manifest carries per-partition lineage + metrics") {
