@@ -1,7 +1,7 @@
 package graft
 
 import graft.seenset.{SeenFilter, SeenSet}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import java.nio.file.{Files, Paths, StandardOpenOption}
@@ -106,6 +106,42 @@ object Bench {
     (n / sec, survivors)
   }
 
+  /**
+   * End-to-end crawl throughput: a synthetic tree web (fanout children per
+   * page, spidered to `depth`) crawled by the REAL engine — fetch join,
+   * extraction, rewrite, qualify, dedup, ordering, snapshotless commit.
+   * Returns (urls seen/sec, seen count).
+   */
+  def crawlThroughput(spark: SparkSession, fanout: Int = 100,
+                      depth: Int = 3): (Double, Long) = {
+    import spark.implicits._
+    val totalPages = (0 until depth).map(d => math.pow(fanout, d).toLong).sum
+    val urlOf = (id: Column) =>
+      concat(lit("http://host"), pmod(xxhash64(id), lit(997)),
+        lit(".test/p"), id, lit(".html"))
+    val corpus = spark.range(totalPages).select(
+      urlOf(col("id")).as("doc_id"),
+      transform(sequence(lit(1), lit(fanout)), j =>
+        struct(lit("link").as("kind"),
+          urlOf(col("id") * fanout + j).as("text"),
+          lit("").as("media_ref"),
+          (j * 10).cast("int").as("offset"))).as("spans"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    // seed = url of id 0, computed with the same expression
+    val seedUrl = spark.range(1).select(urlOf(col("id"))).as[String].head()
+    val rules = Seq(graft.model.RecipeRule(spider = Some(".*"), depth = depth))
+    val (tables, sec) = time {
+      val t = new graft.engine.CrawlEngine(spark, corpus, seedUrl, rules,
+        useSketch = true).run()
+      t.seen.count()
+      t
+    }
+    val seenN = tables.seen.count()
+    corpus.unpersist()
+    (seenN / sec, seenN)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -145,6 +181,8 @@ object Bench {
     }
     val frontierN = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "2000000").toLong
     val (thrMain, survivors) = frontierThroughput(spark, frontierN)
+    val (crawlThr, crawlSeenN) = crawlThroughput(spark,
+      fanout = sys.env.getOrElse("SPARK_GRAFT_CRAWL_FANOUT", "100").toInt)
     spark.stop()
 
     val benchDir = Paths.get("BENCH")
@@ -163,6 +201,7 @@ object Bench {
          ||---|---|---|
          || frontier dequeue+dedup throughput | ${thrMain.toLong}%d URLs/sec | local[$cpus], n=$frontierN, salted two-phase budget window + canonicalize + bloom-prefiltered anti-join |
          || survivors (new URLs) | $survivors%d | 50%% seen overlap by construction |
+         || end-to-end crawl throughput | ${crawlThr.toLong}%d URLs seen/sec | full engine waves (fetch join + extract + rewrite + qualify + dedup + order) over a synthetic tree web, ${crawlSeenN}%d URLs |
          || throughput @ local[2]  (N) | ${thr2.toLong}%d URLs/sec | identical input/job, n=$scaleN |
          || throughput @ local[8]  (4N) | ${thr8.toLong}%d URLs/sec | identical input/job, n=$scaleN |
          || scaling efficiency η = (thr8/thr2)/4 | $eta%.3f | target ≥ 0.8 — N vs 4N cores in the box's linear region |
@@ -182,6 +221,6 @@ object Bench {
       "frontier_dequeue_dedup_sec" -> (frontierN / thrMain)))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier_urls_per_sec":${thrMain.toLong},"urls_per_sec_local2":${thr2.toLong},"urls_per_sec_local8":${thr8.toLong},"urls_per_sec_local32":${thr32.toLong},"scaling_efficiency":${f"$eta%.3f"},"scaling_efficiency_8_32":${f"$eta832%.3f"}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier_urls_per_sec":${thrMain.toLong},"crawl_urls_per_sec":${crawlThr.toLong},"urls_per_sec_local2":${thr2.toLong},"urls_per_sec_local8":${thr8.toLong},"urls_per_sec_local32":${thr32.toLong},"scaling_efficiency":${f"$eta%.3f"},"scaling_efficiency_8_32":${f"$eta832%.3f"}}""")
   }
 }

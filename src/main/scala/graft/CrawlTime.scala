@@ -1,13 +1,15 @@
 package graft
+/** Ad-hoc local timing probe for the fixture + synthetic crawls. */
 object CrawlTime {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val t0 = System.nanoTime()
-    val n = Queries.crawlSeen(spark, "x").count()
-    println(f"CRAWLTIME ${(System.nanoTime()-t0)/1e9}%.1f s, rows=$n")
+    val (thr, n) = Bench.crawlThroughput(spark,
+      fanout = args.headOption.map(_.toInt).getOrElse(100))
+    println(f"CRAWLBENCH urls=$n thr=${thr.toLong}/s")
     spark.stop()
   }
 }
