@@ -44,7 +44,9 @@ object Queries {
       import spark.implicits._
       val corpus = FixtureCorpus.generate(fixtureParams).toDS.toDF
       val seed = FixtureCorpus.seedUrl(fixtureParams)
-      val rules = Seq(RecipeRule(spider = Some(".*"),
+      // spider html pages + ftp listings; fetch media files (disjoint
+      // masks keep FETCH-mode records pure so the fetched sink is hit)
+      val rules = Seq(RecipeRule(spider = Some("(?i).*(\\.html|/)$"),
         fetch = Some("(?i).*\\.(txt|bz2)$"),
         dump = Some(".*page[12]\\.html$"), depth = 3))
       new CrawlEngine(spark, corpus, seed, rules, useSketch = true).run()
