@@ -1,0 +1,208 @@
+package graft
+
+import graft.fixtures.FixtureCorpus
+import graft.model.ErrorCode
+import graft.oracle.RefCrawler
+import graft.urlcanon.UrlRewrite
+import scala.collection.mutable
+
+/**
+ * Driver-oracle generation for the crawl-engine queries: runs the
+ * sequential in-repo reference implementation (RefCrawler — an
+ * INDEPENDENT, list-based mirror of `spiderfetch.py` semantics, not the
+ * Spark engine) over the same fixture corpus and renders its expected
+ * tables as DuckDB `VALUES` SQL. Verify merges these into
+ * oracle_sql.json, turning the `crawl_*`/`web_*` rows of the driver's
+ * correctness report into real engine-vs-oracle comparisons instead of
+ * `no_oracle`.
+ */
+object OracleGen {
+
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def values(rows: Seq[Seq[String]], cols: Seq[String],
+                     casts: Map[String, String], orderBy: String): String = {
+    require(rows.nonEmpty, "VALUES oracle needs at least one row")
+    val sel = cols.map(c =>
+      casts.get(c).map(t => s"$c::$t AS $c").getOrElse(c)).mkString(", ")
+    val vs = rows.map(_.mkString("(", ", ", ")")).mkString(",\n")
+    s"SELECT $sel FROM (VALUES\n$vs\n) AS t(${cols.mkString(", ")}) ORDER BY $orderBy"
+  }
+
+  /** The oracle crawl for the shared fixture (same params/rules/seed as
+    * Queries.fixtureCrawl). */
+  lazy val ref: RefCrawler.CrawlResult = RefCrawler.run(
+    FixtureCorpus.generate(Queries.fixtureParams),
+    FixtureCorpus.seedUrl(Queries.fixtureParams),
+    Queries.fixtureRules)
+
+  private lazy val seedUrl = FixtureCorpus.seedUrl(Queries.fixtureParams)
+
+  // url -> (seq, wave) of its seen row (first occurrence)
+  private lazy val seenIndex: Map[String, (Long, Int)] =
+    ref.seen.groupBy(_.url).map { case (u, rows) =>
+      u -> (rows.head.seq, rows.head.wave)
+    }
+
+  def crawlSeenSql: String = values(
+    ref.seen.map(s => Seq(q(s.url), q(UrlRewrite.canonicalHost(s.url)),
+      s.wave.toString, s.seq.toString)),
+    Seq("url", "canonicalHost", "wave", "seq"),
+    Map("wave" -> "INT", "seq" -> "BIGINT"), "seq")
+
+  def crawlOrderSql: String = values(
+    ref.processed.zipWithIndex.map { case (p, i) =>
+      Seq(p.wave.toString, i.toString, q(p.url), p.mode.toString,
+        p.retry.toString.toUpperCase)
+    },
+    Seq("wave", "ord", "url", "mode", "retry"),
+    Map("wave" -> "INT", "ord" -> "BIGINT", "mode" -> "INT",
+      "retry" -> "BOOLEAN"), "ord")
+
+  def crawlDumpSql: String = values(
+    ref.dump.map { u =>
+      val (seq, wave) = seenIndex(u)
+      Seq(seq.toString, wave.toString, q(u))
+    },
+    Seq("seq", "wave", "url"),
+    Map("seq" -> "BIGINT", "wave" -> "INT"), "seq")
+
+  def crawlEdgesSql: String = values(
+    ref.edges.toSeq.map { case ((s, d), w) => Seq(q(s), q(d), w.toString) },
+    Seq("src", "dst", "wave"), Map("wave" -> "INT"), "src, dst")
+
+  def crawlAliasesSql: String = values(
+    ref.aliases.map { case (c, a, w) => Seq(q(c), q(a), w.toString) },
+    Seq("canonicalUrl", "aliasUrl", "wave"), Map("wave" -> "INT"), "aliasUrl")
+
+  def crawlFetchLogSql: String = values(
+    ref.fetchLog.map(l => Seq(q(l.url), l.mode.toString, l.wave.toString,
+      l.errorCode.toString, l.attempt.toString)),
+    Seq("url", "mode", "wave", "errorCode", "attempt"),
+    Map("mode" -> "INT", "wave" -> "INT", "errorCode" -> "INT",
+      "attempt" -> "INT"), "wave, url, attempt, mode")
+
+  def crawlIndegreeSql: String = {
+    val top = ref.edges.keys.toSeq.groupBy(_._2).toSeq
+      .map { case (d, es) => (d, es.size.toLong) }
+      .sortBy { case (u, n) => (-n, u) }.take(10)
+    values(top.map { case (u, n) => Seq(q(u), n.toString) },
+      Seq("url", "in_degree"), Map("in_degree" -> "BIGINT"),
+      "in_degree DESC, url")
+  }
+
+  def crawlFetchedSql: String = values(
+    ref.fetched.map { case (u, f) => Seq(q(u), q(f)) },
+    Seq("url", "filename"), Map.empty, "filename")
+
+  def crawlMetricsSql: String = values(
+    ref.waveTotals.map { case (w, r, fr, er, dr) =>
+      Seq(w.toString, r.toString, fr.toString, er.toString, dr.toString) },
+    Seq("wave", "ruleIdx", "frontierRows", "errorRows", "discoveredRows"),
+    Map("wave" -> "INT", "ruleIdx" -> "INT", "frontierRows" -> "BIGINT",
+      "errorRows" -> "BIGINT", "discoveredRows" -> "BIGINT"), "wave")
+
+  // ----------------------------------------------- web.py analytics twins
+
+  def webMultipleSql: String = {
+    val groups = ref.aliases.groupBy(_._1).toSeq
+      .map { case (c, as) =>
+        (c, as.size + 1L, as.map(_._2).sorted.mkString("|"))
+      }
+      .filter(_._2 > 1)
+      .sortBy { case (c, n, _) => (-n, c) }
+    values(groups.map { case (c, n, a) => Seq(q(c), n.toString, q(a)) },
+      Seq("canonicalUrl", "n_urls", "alias_urls"),
+      Map("n_urls" -> "BIGINT"), "n_urls DESC, canonicalUrl")
+  }
+
+  def webStatsSql: String = {
+    val hosts = ref.seen.map(s => UrlRewrite.canonicalHost(s.url)).distinct.size
+    s"SELECT ${ref.seen.size}::BIGINT AS web_size, $hosts::BIGINT AS n_hosts"
+  }
+
+  /** BFS trace root<-..<-target over incoming edges — the sequential twin
+    * of GraphQueries.trace: per level, unvisited predecessors keep the
+    * lexicographically smallest path (all same length at a level). */
+  def traceSeq(edges: Iterable[(String, String)], root: String,
+               target: String, maxDepth: Int = 64): Seq[String] = {
+    if (root == target) return Seq(root)
+    val incoming = edges.groupBy(_._2).map { case (d, es) =>
+      d -> es.map(_._1).toSeq
+    }
+    implicit val vecOrd: Ordering[Vector[String]] =
+      Ordering.Implicits.seqOrdering[Vector, String]
+    var frontier: Map[String, Vector[String]] = Map(target -> Vector(target))
+    val visited = mutable.Set(target)
+    var depth = 0
+    while (depth < maxDepth && frontier.nonEmpty) {
+      depth += 1
+      val next = mutable.Map.empty[String, Vector[String]]
+      for ((u, path) <- frontier; src <- incoming.getOrElse(u, Nil)
+           if !visited(src)) {
+        val cand = path :+ src
+        if (!next.get(src).exists(p => vecOrd.lteq(p, cand))) next(src) = cand
+      }
+      next.get(root) match {
+        case Some(p) => return p.reverse
+        case None => ()
+      }
+      if (next.isEmpty) return Seq.empty
+      visited ++= next.keys
+      frontier = next.toMap
+    }
+    Seq.empty
+  }
+
+  /** Sequential twin of GraphQueries.deepest: BFS distances from root;
+    * deepest = lexicographically-min url of the last non-empty level. */
+  def deepestSeq(edges: Iterable[(String, String)], root: String,
+                 maxDepth: Int = 64): (String, Int) = {
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSeq }
+    val dist = mutable.Map(root -> 0)
+    var frontier: Set[String] = Set(root)
+    var depth = 0
+    var last = (root, 0)
+    while (depth < maxDepth && frontier.nonEmpty) {
+      depth += 1
+      val next = frontier.flatMap(u => out.getOrElse(u, Nil))
+        .filterNot(dist.contains)
+      if (next.isEmpty) return last
+      last = (next.min, depth)
+      next.foreach(u => dist(u) = depth)
+      frontier = next
+    }
+    last
+  }
+
+  /** Fixed trace target for the driver surface: the deepest ftp file —
+    * exercises a multi-hop path through the ftp listing. */
+  val TraceTarget = "ftp://ftp0.test/pub/notes.txt"
+
+  def webTraceSql: String = {
+    val path = traceSeq(ref.edges.keys, seedUrl, TraceTarget)
+    values(path.zipWithIndex.map { case (u, i) => Seq(i.toString, q(u)) },
+      Seq("step", "url"), Map("step" -> "INT"), "step")
+  }
+
+  def webDeepestSql: String = {
+    val (u, d) = deepestSeq(ref.edges.keys, seedUrl)
+    s"SELECT ${q(u)} AS url, $d::INT AS depth"
+  }
+
+  /** All runtime-generated oracles (merged by Verify into oracle_sql.json). */
+  def all: Map[String, String] = Map(
+    "crawl_seen" -> crawlSeenSql,
+    "crawl_order" -> crawlOrderSql,
+    "crawl_dump" -> crawlDumpSql,
+    "crawl_edges" -> crawlEdgesSql,
+    "crawl_aliases" -> crawlAliasesSql,
+    "crawl_fetch_log" -> crawlFetchLogSql,
+    "crawl_indegree" -> crawlIndegreeSql,
+    "crawl_fetched" -> crawlFetchedSql,
+    "crawl_metrics" -> crawlMetricsSql,
+    "web_multiple" -> webMultipleSql,
+    "web_stats" -> webStatsSql,
+    "web_trace" -> webTraceSql,
+    "web_deepest" -> webDeepestSql)
+}

@@ -9,8 +9,9 @@ object ScaleProbe {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
-      val (thr, _) = Bench.frontierThroughput(s, n)
-      println(s"PROBE cores=$c thr=${thr.toLong}")
+      val (thr, chunkThr, _) = Bench.frontierThroughput(s, n)
+      val roof = Bench.rooflineShuffle(s, n)
+      println(s"PROBE cores=$c thr=${thr.toLong} chunk=${chunkThr.toLong} roofline=${roof.toLong}")
       s.stop()
     }
   }

@@ -24,9 +24,15 @@ object SparkEntry {
     "crawl_fetch_log" -> (Queries.crawlFetchLog _),
     "crawl_indegree" -> (Queries.crawlIndegree _),
     "crawl_metrics" -> (Queries.crawlMetrics _),
+    "crawl_lineage" -> (Queries.crawlLineage _),
     "crawl_fetched" -> (Queries.crawlFetched _),
     "extract_testcases" -> (Queries.extractTestcases _),
     "url_canon" -> (Queries.urlCanon _),
+    // web.py analytics (A2/A3/G1/G2)
+    "web_multiple" -> (Queries.webMultiple _),
+    "web_stats" -> (Queries.webStats _),
+    "web_trace" -> (Queries.webTrace _),
+    "web_deepest" -> (Queries.webDeepest _),
     // relational operators (DuckDB-oracled)
     "q1_agg" -> (Queries.q1Agg _),
     "q2_join_revenue" -> (Queries.q2JoinRevenue _),
@@ -53,7 +59,19 @@ object SparkEntry {
     "q21_frontier_dequeue" -> (Queries.q21FrontierDequeue _),
     "q22_cuckoo_sketch" -> (Queries.q22CuckooSketch _))
 
+  /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
+    * from the sequential RefCrawler) for the crawl and web queries.
+    * Deliberately un-oracled (rows-only): q15 (JVM 64-bit hash kernel not
+    * ANSI-SQL-expressible), q20 (binary media decode), crawl_lineage
+    * (physical partition layout is engine-specific). */
   def oracleSql: Map[String, String] = Map(
+    "extract_testcases" -> Queries.extractTestcasesSql,
+    "url_canon" -> Queries.urlCanonSql,
+    "q14_minhash_pairs" -> Queries.q14Sql,
+    "q17_ivf_ann" -> Queries.q17Sql,
+    "q18_embed_near_dups" -> Queries.q18Sql,
+    "q19_ngram_jaccard" -> Queries.q19Sql,
+    "q22_cuckoo_sketch" -> Queries.q22Sql,
     "q1_agg" -> Queries.q1Sql,
     "q2_join_revenue" -> Queries.q2Sql,
     "q3_topk_customers" -> Queries.q3Sql,

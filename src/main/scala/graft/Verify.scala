@@ -34,7 +34,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + runtime VALUES oracles rendered from the sequential
+    // RefCrawler (the independent in-repo mirror of the reference crawl)
+    val oracles = SparkEntry.oracleSql ++ OracleGen.all
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,14 +1,13 @@
 package graft.engine
 
 import graft.model._
-import graft.urlcanon.{PyUrl, UrlRewrite}
+import graft.urlcanon.UrlRewrite
 import graft.extract.Extract
 import graft.seenset.{SeenFilter, SeenSet}
 import graft.tableio.TableIO
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
 
 /**
  * The distributed crawl engine: a driver loop of BSP superstep "waves",
@@ -115,19 +114,41 @@ class CrawlEngine(
     FrontierRecord(url, UrlRewrite.canonicalUrl(url), UrlRewrite.canonicalHost(url),
       mode, wave, seq, retry = false, attempt = 0)
 
-  /** Global deterministic rank: sort + zipWithIndex (distributed — no
-    * single-partition window; SURVEY §4.3.1). Returns persisted df + count. */
+  /**
+   * Global deterministic dense rank over UNIQUE sort keys (SURVEY §4.3.1).
+   * Two-phase partition-offset rank, pure DataFrame ops — no RDD
+   * zipWithIndex hop out of Tungsten (round-1 verdict #6): range-shuffle
+   * by the key, sort within partitions, then exploit
+   * monotonically_increasing_id's documented layout
+   * (partitionId << 33 | localRowNumber) for the within-partition
+   * position; per-partition offsets come from one tiny count-per-partition
+   * collect. One shuffle + one small job; no single-partition window.
+   * Returns (persisted df with the rank column, row count).
+   */
   private def withOrderedIndex(df: DataFrame, sortCols: Seq[Column],
                                name: String, offset: Long): (DataFrame, Long) = {
-    val schema = df.schema.add(name, LongType, nullable = false)
-    val rdd = df.orderBy(sortCols: _*).rdd.zipWithIndex()
-      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + offset)) }
-    val out = spark.createDataFrame(rdd, schema).persist()
-    (out, out.count())
+    val nPart = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // localCheckpoint, not persist: ranked outputs feed the NEXT wave's
+    // plans — without truncation here the logical plan grows with every
+    // wave and analysis/explain goes quadratic in crawl depth
+    val mid = df.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_g_mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val parts = mid.groupBy(shiftright(col("_g_mid"), 33).as("_g_pid")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = parts.map(_._2).sum
+    var acc = 0L
+    val offRows = parts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }
+    import spark.implicits._
+    val offDf = broadcast(offRows.toSeq.toDF("_g_pid", "_g_off"))
+    val out = mid.withColumn("_g_pid", shiftright(col("_g_mid"), 33))
+      .join(offDf, Seq("_g_pid"))
+      .withColumn(name, col("_g_off") +
+        col("_g_mid").bitwiseAND(lit((1L << 33) - 1)) + offset)
+      .drop("_g_pid", "_g_off", "_g_mid")
+    (out, total)
   }
-
-  private def hostOk(filter: Option[String], url: String): Boolean =
-    !hostFilterEnabled || PyUrl.getHostname(url) == filter
 
   private def maskCol(pattern: Option[String]): Column =
     pattern.map(p => col("url").rlike(p)).getOrElse(lit(false))
@@ -147,7 +168,8 @@ class CrawlEngine(
     seqCounter = 1L
     ordCounter = 0L
     waveNo = 0
-    if (useSketch) sketch.addOne(seedUrl)
+    if (useSketch)
+      sketch.addOne(seedUrl, UrlRewrite.canonicalHost(seedUrl))
     val queue0 = Seq(frontierRow(seedUrl, Mode.SPIDER, 0, 0L)).toDF
     crawlLoop(0, rules.head.depth, queue0, emptyFrontier)
   }
@@ -239,14 +261,17 @@ class CrawlEngine(
         val (frag2, _) = processBatch(retries, rule) // retried once only
         discovered = frag1.unionByName(frag2)
       case Some(k) =>
-        var pending = admitted0.persist()
+        // localCheckpoint, not persist: `rest` references `pending` on
+        // both join sides, so without truncation the logical plan doubles
+        // every chunk iteration (analysis goes exponential in chunks)
+        var pending = admitted0.localCheckpoint(true)
         var pendingCount = pending.count()
         frontierRows = pendingCount
         while (pendingCount > 0) {
           val (chunk, rest) = Scheduler.dequeueChunk(pending, k)
           val (frag, retries) = processBatch(chunk.persist(), rule)
           discovered = discovered.unionByName(frag)
-          pending = rest.unionByName(retries).persist()
+          pending = rest.unionByName(retries).localCheckpoint(true)
           pendingCount = pending.count()
         }
     }
@@ -265,94 +290,188 @@ class CrawlEngine(
   }
 
   /**
-   * Process one ordered batch of frontier records. Returns
-   * (discovered next-wave records, retry records for this wave).
-   * Splits into segments at redirect records — those are order-sensitive
-   * sequence points (their dedup check sees earlier discoveries).
+   * Process one ordered batch of frontier records as ONE distributed DAG.
+   * Returns (discovered next-wave records, retry records for this wave).
+   *
+   * Redirect records are sequence points in the reference (their dup
+   * checks observe earlier-seq records' discoveries and aliases); instead
+   * of splitting the wave into per-redirect segments, the interleaving is
+   * computed analytically by RedirectResolver — jobs per wave scale with
+   * the longest redirect chain, not with the number of redirects.
    */
   private def processBatch(records: DataFrame, rule: RecipeRule): (DataFrame, DataFrame) = {
     if (records.limit(1).count() == 0) return (emptyFrontier, emptyFrontier)
 
-    val joined = records.join(corpusN, col("url") === col("doc_id"), "left")
-      .withColumn("outcome",
-        when(col("doc_id").isNull, ErrorCode.DNS)
-          .when(col("attempt") < col("fail_attempts"), ErrorCode.TIMEOUT)
-          .when(col("redirect_to").isNotNull, ErrorCode.REDIRECT)
-          .when(size(col("spans")) === 0, ErrorCode.NO_DATA)
-          .otherwise(ErrorCode.NONE))
+    val joinedBase = records.join(corpusN, col("url") === col("doc_id"), "left")
+    val joined = (config.resumeState match {
+      case Nil => joinedBase.withColumn("_resume_err", lit(null).cast("int"))
+      case st => joinedBase.join(
+        broadcast(FetchResume.failedResumes(spark, corpusN, st)),
+        Seq("url"), "left")
+    }).withColumn("outcome", CrawlEngine.outcomeCol)
       .persist()
 
-    val redirectRecs = joined.filter(col("outcome") === ErrorCode.REDIRECT)
-      .select("seq", "url", "mode", "retry", "attempt")
-      .collect().sortBy(_.getLong(0))
+    val redirects = joined.filter(col("outcome") === ErrorCode.REDIRECT)
+    val hasRedirects = redirects.limit(1).count() > 0
 
-    var discovered = emptyFrontier
-    var retries = emptyFrontier
-    var lo = Long.MinValue
-    redirectRecs.foreach { r =>
-      val hi = r.getLong(0)
-      val seg = joined.filter(col("seq") > lo && col("seq") < hi)
-      val (d1, r1) = processSegment(seg, rule)
-      discovered = discovered.unionByName(d1); retries = retries.unionByName(r1)
-      val (d2, r2) = handleRedirect(r, rule)
-      discovered = discovered.unionByName(d2); retries = retries.unionByName(r2)
-      lo = hi
-    }
-    val (dL, rL) = processSegment(joined.filter(col("seq") > lo), rule)
-    (discovered.unionByName(dL), retries.unionByName(rL))
-  }
+    // spidering sources: successful SPIDER-mode rows (spiderfetch.py:156-161)
+    val nonRedirectCands = qualifyCandidates(
+      joined.filter(col("mode") === Mode.SPIDER &&
+          col("outcome") === ErrorCode.NONE)
+        .select(col("seq").as("parent_seq"), col("doc_id"), col("spans")),
+      rule)
 
-  /** Distributed processing of a redirect-free segment. */
-  private def processSegment(segment: DataFrame, rule: RecipeRule): (DataFrame, DataFrame) = {
-    val seg = segment.persist()
-    val n = seg.count()
-    if (n == 0) return (emptyFrontier, emptyFrontier)
+    val analysis =
+      if (hasRedirects)
+        Some(RedirectResolver.analyze(spark, redirects, corpusN, seen, rule,
+          hostFilterEnabled, docs => qualifyCandidates(docs, rule),
+          nonRedirectCands))
+      else None
 
-    // processed log in dequeue order (the crawl-ordering parity surface)
+    val allCands = analysis.map(_.candidates).getOrElse(nonRedirectCands)
+      .persist()
+
+    // ---- processed log: every record, in seq order, ONE global rank
+    // (the crawl-ordering parity surface)
     val (procOrdered, nProc) = withOrderedIndex(
-      seg.select(col("seq"), lit(waveNo).as("wave"), col("url"), col("mode"), col("retry")),
+      joined.select(col("seq"), lit(waveNo).as("wave"), col("url"),
+        col("mode"), col("retry"), col("outcome")),
       Seq(col("seq")), "ord", ordCounter)
     ordCounter += nProc
     processed = processed.unionByName(
       procOrdered.select("wave", "ord", "url", "mode", "retry"))
 
-    // S5 fetched-file sink: FETCH-mode records move their file to a
-    // collision-safe final name (spiderfetch.py:163-165); the raw log
-    // records processing order, names are derived in tables()
+    // ---- fetch log: origin fetch of every record + each reached chain hop
+    val originLog = joined.select(col("url"), col("mode"),
+      lit(waveNo).as("wave"), col("outcome").as("errorCode"), col("attempt"))
+    val logAll = analysis match {
+      case Some(a) => originLog.unionByName(
+        a.validHops.select(col("alias_url").as("url"), col("mode"),
+          lit(waveNo).as("wave"), col("to_outcome").as("errorCode"),
+          col("attempt")))
+      case None => originLog
+    }
+    fetchLog = fetchLog.unionByName(logAll)
+    waveErrorCount += logAll.filter(col("errorCode") =!= ErrorCode.NONE).count()
+
+    // ---- S5 fetched-file sink: FETCH-mode records move their file to a
+    // collision-safe final name (spiderfetch.py:163-165); redirected
+    // fetches land under the chain's FINAL url, dup-aborted records don't
     fetched = fetched.unionByName(
-      procOrdered.filter(col("mode") === Mode.FETCH)
+      procOrdered.filter(col("mode") === Mode.FETCH &&
+          col("outcome") =!= ErrorCode.REDIRECT)
         .select(col("wave"), col("ord"), col("url")))
+    analysis.foreach { a =>
+      fetched = fetched.unionByName(
+        procOrdered.select(col("seq"), col("ord"))
+          .join(a.finals.filter(col("mode") === Mode.FETCH && !col("aborted"))
+            .select(col("seq"), col("final_url")), Seq("seq"))
+          .select(lit(waveNo).as("wave"), col("ord"),
+            col("final_url").as("url")))
+    }
 
-    fetchLog = fetchLog.unionByName(
-      seg.select(col("url"), col("mode"), lit(waveNo).as("wave"),
-        col("outcome").as("errorCode"), col("attempt")))
-    waveErrorCount += seg.filter(col("outcome") =!= ErrorCode.NONE).count()
+    // ---- edges: every matched url, seen or not, self-loops excluded
+    // (web.py:44-50)
+    edges = edges.unionByName(
+      allCands.filter(col("url") =!= col("parent_url"))
+        .select(col("parent_url").as("src"), col("url").as("dst"),
+          lit(waveNo).as("wave")))
 
-    // once-only temporal retry (spiderfetch.py:150-154)
+    // ---- discoveries: O4 first-wins within the batch, J1 exact dedup vs
+    // seen (sketch-fronted), then alias suppression (a url alias'd at pos
+    // <= its would-be discovery is already in the web)
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("parent_seq"), col("extract_idx"))
+    val firstWins = allCands
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+    val fresh = SeenSet.filterNew(spark, firstWins, seen, "url",
+      if (useSketch) Some(sketch) else None)
+    val freshReal = analysis match {
+      case Some(a) =>
+        fresh.join(a.aliasMin, Seq("url"), "left")
+          .filter(col("_apos").isNull || col("_apos") > col("parent_seq"))
+          .drop("_apos")
+      case None => fresh
+    }
+
+    // ---- unified seen-event ordering: a record's chain aliases land
+    // before its discoveries; everything interleaves by record seq
+    // (spiderfetch.py:87-102 addRef vs qualify_urls add_url order)
+    val discEvents = freshReal.select(col("url"), col("host"),
+      col("parent_seq").as("pos"), lit(1).as("phase"),
+      col("extract_idx").as("idx"), col("canonicalUrl"),
+      col("m_dump"), col("m_fetch"), col("m_spider"))
+    val events = analysis match {
+      case Some(a) => a.validHops.select(col("alias_url").as("url"),
+        col("alias_host").as("host"), col("pos"), lit(0).as("phase"),
+        col("hop").cast("long").as("idx"),
+        lit(null).cast("string").as("canonicalUrl"),
+        lit(false).as("m_dump"), lit(false).as("m_fetch"),
+        lit(false).as("m_spider"))
+        .unionByName(discEvents)
+      case None => discEvents
+    }
+    val (ranked, nNew) = withOrderedIndex(events,
+      Seq(col("pos"), col("phase"), col("idx")), "new_seq", seqCounter)
+    seqCounter += nNew
+
+    seen = seen.unionByName(ranked.select(col("url"),
+      col("host").as("canonicalHost"), lit(waveNo).as("wave"),
+      col("new_seq").as("seq")))
+    if (useSketch && nNew > 0) sketch.add(spark, ranked, "url", "host")
+
+    analysis.foreach { a =>
+      aliases = aliases.unionByName(a.validHops.select(
+        col("origin_url").as("canonicalUrl"), col("alias_url").as("aliasUrl"),
+        lit(waveNo).as("wave")))
+    }
+
+    dumped = dumped.unionByName(
+      ranked.filter(col("m_dump"))
+        .select(col("new_seq").as("seq"), lit(waveNo).as("wave"), col("url")))
+
+    val discovered = ranked
+      .filter(col("m_fetch") || col("m_spider"))
+      .select(col("url"), col("canonicalUrl"), col("host"),
+        when(col("m_fetch") && col("m_spider"), Mode.SPIDER_FETCH)
+          .when(col("m_fetch"), Mode.FETCH)
+          .otherwise(Mode.SPIDER).as("mode"),
+        lit(waveNo).as("wave"), col("new_seq").as("seq"),
+        lit(false).as("retry"), lit(0).as("attempt"))
+
+    // ---- once-only temporal retry (spiderfetch.py:150-154); a redirected
+    // record retries under its ORIGIN url when the chain's final fetch
+    // failed temporally (and the chain wasn't dup-aborted)
     val temporalCodes = ErrorCode.Temporal.toSeq
-    val retryBatch = seg
+    val retryNR = joined
       .filter(col("outcome").isin(temporalCodes: _*) && !col("retry"))
       .select(col("url"), col("canonicalUrl"), col("host"), col("mode"),
         col("wave"), col("seq"), lit(true).as("retry"),
         (col("attempt") + 1).as("attempt"))
-
-    // spidering: successful SPIDER-mode rows only (spiderfetch.py:156-161)
-    val spiderRows = seg.filter(col("mode") === Mode.SPIDER &&
-      col("outcome") === ErrorCode.NONE)
-    val discovered = qualifyAndEnqueue(
-      spiderRows.select(col("seq").as("parent_seq"), col("url").as("doc_id"),
-        col("spans")),
-      rule)
-    (discovered, retryBatch)
+    val retries = analysis match {
+      case Some(a) => retryNR.unionByName(
+        a.finals
+          .filter(!col("aborted") &&
+            col("final_outcome").isin(temporalCodes: _*) && !col("retry"))
+          .select(col("origin_url").as("url"),
+            col("origin_canonical").as("canonicalUrl"),
+            col("origin_host").as("host"), col("mode"), col("wave"),
+            col("seq"), lit(true).as("retry"),
+            (col("attempt") + 1).as("attempt")))
+      case None => retryNR
+    }
+    (discovered, retries)
   }
 
   /**
-   * Extraction + rewrite + qualification + dedup + enqueue for a set of
-   * successfully fetched SPIDER pages — the wave DAG's discovery half.
+   * Extraction + reference-exact rewrite + mask qualification for a set
+   * of successfully fetched SPIDER pages — PURE (no state updates).
+   * Input: (parent_seq, doc_id, spans); output one row per qualified
+   * candidate: (parent_seq, parent_url, extract_idx, url, canonicalUrl,
+   * host, m_dump, m_fetch, m_spider).
    */
-  private def qualifyAndEnqueue(spiderDocs: DataFrame, rule: RecipeRule): DataFrame = {
-    if (spiderDocs.limit(1).count() == 0) return emptyFrontier
-
+  private def qualifyCandidates(spiderDocs: DataFrame, rule: RecipeRule): DataFrame = {
     // E4: span extraction in findall order (UDF-free)
     val extracted = Extract.findall(spiderDocs)
       .select(col("parent_seq"), col("doc_id").as("parent_url"),
@@ -372,123 +491,11 @@ class CrawlEngine(
     val hostOkCol: Column =
       if (!hostFilterEnabled) lit(true)
       else col("host") === lit(rule.hostFilter.getOrElse(""))
-    val qualified = candidates
+    candidates
       .withColumn("m_dump", maskCol(rule.dump))
       .withColumn("m_fetch", maskCol(rule.fetch))
       .withColumn("m_spider", maskCol(rule.spider) && hostOkCol)
-      .withColumn("m_any", col("m_dump") || col("m_fetch") || col("m_spider"))
-      .filter(col("m_any"))
-      .persist()
-
-    // edges: every matched url, seen or not, self-loops excluded (web.py:44-50)
-    edges = edges.unionByName(
-      qualified.filter(col("url") =!= col("parent_url"))
-        .select(col("parent_url").as("src"), col("url").as("dst"),
-          lit(waveNo).as("wave")))
-
-    // O4 first-wins within the batch, then J1 exact dedup vs seen
-    val w = Window.partitionBy(col("url"))
-      .orderBy(col("parent_seq"), col("extract_idx"))
-    val firstWins = qualified
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-    val fresh = SeenSet.filterNew(spark, firstWins, seen, "url",
-      if (useSketch) Some(sketch) else None)
-
-    // discovery order -> global seq (the crawl-ordering key, §4.3.1)
-    val (newUrls, nNew) = withOrderedIndex(
-      fresh, Seq(col("parent_seq"), col("extract_idx")), "new_seq", seqCounter)
-    seqCounter += nNew
-
-    seen = seen.unionByName(newUrls.select(col("url"), col("host").as("canonicalHost"),
-      lit(waveNo).as("wave"), col("new_seq").as("seq")))
-    if (useSketch && nNew > 0) sketch.add(spark, newUrls, "url")
-
-    dumped = dumped.unionByName(
-      newUrls.filter(col("m_dump"))
-        .select(col("new_seq").as("seq"), lit(waveNo).as("wave"), col("url")))
-
-    newUrls
-      .filter(col("m_fetch") || col("m_spider"))
-      .select(col("url"), col("canonicalUrl"), col("host"),
-        when(col("m_fetch") && col("m_spider"), Mode.SPIDER_FETCH)
-          .when(col("m_fetch"), Mode.FETCH)
-          .otherwise(Mode.SPIDER).as("mode"),
-        lit(waveNo).as("wave"), col("new_seq").as("seq"),
-        lit(false).as("retry"), lit(0).as("attempt"))
-  }
-
-  /**
-   * Driver-side redirect record (spiderfetch.py:87-102 + web.py:52-54):
-   * tiny by construction (one frontier row), exact ordering semantics.
-   */
-  private def handleRedirect(r: Row, rule: RecipeRule): (DataFrame, DataFrame) = {
-    val seq = r.getLong(0); val url = r.getString(1); val mode = r.getInt(2)
-    val retry = r.getBoolean(3); val attempt = r.getInt(4)
-
-    processed = processed.unionByName(
-      Seq(ProcessedRow(waveNo, ordCounter, url, mode, retry)).toDF)
-    ordCounter += 1
-
-    var cur = url
-    var aborted = false
-    var finalOutcome = ErrorCode.REDIRECT
-    var hops = 0
-    while (!aborted && hops < 50) {
-      hops += 1
-      val doc = corpusN.filter(col("doc_id") === cur)
-        .select("redirect_to", "fail_attempts", "spans")
-        .collect().headOption
-      val outcome: Int = doc match {
-        case None => ErrorCode.DNS
-        case Some(d) if attempt < d.getInt(1) => ErrorCode.TIMEOUT
-        case Some(d) if !d.isNullAt(0) => ErrorCode.REDIRECT
-        case Some(d) if d.getSeq[Row](2).isEmpty => ErrorCode.NO_DATA
-        case Some(_) => ErrorCode.NONE
-      }
-      fetchLog = fetchLog.unionByName(
-        Seq(FetchLogEntry(cur, mode, waveNo, outcome, attempt)).toDF)
-      if (outcome != ErrorCode.NONE) waveErrorCount += 1
-      if (outcome == ErrorCode.REDIRECT) {
-        val loc = doc.get.getString(0)
-        val newRaw = PyUrl.urljoin(cur, loc)
-        UrlRewrite.rewriteOne(cur, newRaw) match {
-          case None => aborted = true // StopIteration analogue -> record aborted
-          case Some(newUrl) =>
-            val dup = seen.filter(col("url") === newUrl).limit(1).count() > 0
-            if (dup) aborted = true // DuplicateUrlWarning
-            else if (!hostOk(rule.hostFilter, newUrl)) aborted = true // off-host
-            else {
-              aliases = aliases.unionByName(
-                Seq(Alias(url, newUrl, waveNo)).toDF)
-              seen = seen.unionByName(Seq(Seen(newUrl,
-                UrlRewrite.canonicalHost(newUrl), waveNo, seqCounter)).toDF)
-              seqCounter += 1
-              if (useSketch) sketch.addOne(newUrl)
-              cur = newUrl
-            }
-        }
-      } else { finalOutcome = outcome; hops = Int.MaxValue }
-    }
-    if (aborted) return (emptyFrontier, emptyFrontier)
-
-    if (mode == Mode.FETCH)
-      fetched = fetched.unionByName(
-        Seq(FetchedRaw(waveNo, ordCounter - 1, cur)).toDF)
-
-    val retries =
-      if (ErrorCode.isTemporal(finalOutcome) && !retry)
-        Seq(FrontierRecord(url, UrlRewrite.canonicalUrl(url),
-          UrlRewrite.canonicalHost(url), mode, waveNo, seq,
-          retry = true, attempt = attempt + 1)).toDF
-      else emptyFrontier
-
-    val discovered =
-      if (mode == Mode.SPIDER && finalOutcome == ErrorCode.NONE) {
-        val finalDoc = corpusN.filter(col("doc_id") === cur)
-          .select(lit(seq).as("parent_seq"), col("doc_id"), col("spans"))
-        qualifyAndEnqueue(finalDoc, rule)
-      } else emptyFrontier
-    (discovered, retries)
+      .filter(col("m_dump") || col("m_fetch") || col("m_spider"))
   }
 
   // ------------------------------------------------------- wave commit
@@ -507,7 +514,10 @@ class CrawlEngine(
           "seen" -> seen, "processed" -> processed, "dump" -> dumped,
           "edges" -> edges, "aliases" -> aliases, "fetch_log" -> fetchLog,
           "robots_blocked" -> robotsBlocked, "metrics" -> metrics,
-          "fetched" -> fetched, "queue" -> queue, "outer_queue" -> outer))
+          "fetched" -> fetched, "queue" -> queue, "outer_queue" -> outer,
+          // S2: byte-range fetch-state table — a restarted session feeds
+          // this back via CrawlConfig.resumeState
+          "fetch_state" -> FetchResume.stateOf(spark, fetched, corpusN)))
         // reload: truncates lineage, pins state to the snapshot
         seen = io.table(snap, "seen"); processed = io.table(snap, "processed")
         dumped = io.table(snap, "dump"); edges = io.table(snap, "edges")
@@ -522,7 +532,42 @@ class CrawlEngine(
         // tables() at the end.
         seen = seen.localCheckpoint(true)
     }
+    // adaptive sketch sizing (SURVEY §4.4): shards past their sizing have
+    // degraded FPP — rebuild the bank from the exact table at 4x capacity
+    if (useSketch && sketch.needsRebuild)
+      sketch.rebuildFrom(spark, seen, "url", "canonicalHost")
   }
+}
+
+object CrawlEngine {
+  import graft.model.{ErrorCode, Mode}
+
+  /**
+   * Fetch-outcome expression over a (frontier record ⨝ corpus) row —
+   * the error taxonomy of `fetch.py:74-121` on the span-table web:
+   * missing doc = DNS, `attempt < fail_attempts` = temporal TIMEOUT,
+   * `redirect_to` = 30x, empty spans = ZeroDataError, and the SPIDER-mode
+   * typecheck (`fetch.py:512-531`): content that is neither HTML nor
+   * URL-bearing raises WrongFileTypeError — but only in SPIDER mode;
+   * FETCH is pre-typechecked (`fetch.py:384-385`) and SPIDER_FETCH
+   * downgrades to a plain fetch instead of erroring
+   * (`fetch_if_wrongtype`, `fetch.py:390-391,527-529`).
+   */
+  def outcomeCol: Column =
+    when(col("doc_id").isNull, ErrorCode.DNS)
+      .when(col("attempt") < col("fail_attempts"), ErrorCode.TIMEOUT)
+      // S2 resume verdicts (fetch.py:205-217): a failed byte-range resume
+      // (CHECKSUM / NO_RESUME) pre-joined per url; CONT applies to
+      // non-SPIDER fetches (fetch.py:555-558)
+      .when(col("mode") =!= Mode.SPIDER && col("_resume_err").isNotNull,
+        col("_resume_err"))
+      .when(col("redirect_to").isNotNull, ErrorCode.REDIRECT)
+      .when(size(col("spans")) === 0, ErrorCode.NO_DATA)
+      .when(col("mode") === Mode.SPIDER &&
+        !graft.extract.Extract.isHtmlCol(col("spans")) &&
+        !graft.extract.Extract.hasUrlsCol(col("spans"), col("doc_id")),
+        ErrorCode.WRONG_TYPE)
+      .otherwise(ErrorCode.NONE)
 }
 
 /** Crawl output tables (the persisted relations of SURVEY §1.2). */

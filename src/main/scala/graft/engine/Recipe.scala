@@ -46,6 +46,45 @@ object Recipe {
   def default(pattern: String, url: String, env: Env = Env()): Seq[RecipeRule] =
     rewrite(Seq(RecipeRule(spider = Some(".*"), fetch = Some(pattern))), url, env)
 
+  /**
+   * load_recipe (`recipe.py:55-65`), data-not-code: recipes are JSON
+   * arrays of rules instead of exec'd Python —
+   * `[{"spider": ".*", "fetch": "...", "dump": "...", "depth": 2}, ...]`.
+   * Mirrors the reference's resolution order: extension defaults, $PWD
+   * first, then the recipe dir (RECIPEDIR env or `recipes/`).
+   */
+  def load(filename: String, url: String, env: Env = Env(),
+           recipeDir: Option[String] = None): Seq[RecipeRule] = {
+    val withExt =
+      if (filename.contains(".")) filename else filename + ".json"
+    val dir = recipeDir.orElse(sys.env.get("RECIPEDIR")).getOrElse("recipes")
+    val candidates = Seq(
+      java.nio.file.Paths.get(withExt),
+      java.nio.file.Paths.get(dir, withExt))
+    val path = candidates.find(java.nio.file.Files.exists(_)).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"recipe not found: ${candidates.mkString(" or ")}"))
+    val json = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    rewrite(parseJson(json), url, env)
+  }
+
+  /** Parse a JSON recipe (jackson — already on the Spark classpath). */
+  def parseJson(json: String): Seq[RecipeRule] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root.isArray, "recipe JSON must be an array of rules")
+    (0 until root.size()).map { i =>
+      val n = root.get(i)
+      def opt(k: String): Option[String] =
+        if (n.has(k) && !n.get(k).isNull) Some(n.get(k).asText) else None
+      RecipeRule(
+        spider = opt("spider"), fetch = opt("fetch"), dump = opt("dump"),
+        depth = if (n.has("depth")) n.get("depth").asInt else 1,
+        hostFilter = opt("host_filter"))
+    }
+  }
+
   /** Shipped recipes as data (`recipes/{jpg,mov,videostream}.py`). */
   val jpg: Seq[RecipeRule] = Seq(
     RecipeRule(spider = Some("(?i)(?!.*\\.jpe?g$)"), fetch = Some("(?i).*\\.jpe?g$")))

@@ -97,10 +97,36 @@ object Extract {
           (s.getField("kind") =!= "ftp" || isFtpPage))) > 0)
   }
 
+  /** HTML-tag extractor kinds: only these match actual HTML markup
+    * (`spider.py:34-53` tag regexes); `uri`/`ftp` also match plain text. */
+  val HtmlKinds: Seq[String] = Seq("link", "link_unq", "frame", "frame_unq",
+    "img", "img_unq")
+
   /** is_html typecheck analogue (filetype.py:13,24-26 / SURVEY P5): the doc
-    * has interleaved structure at all (any spans). */
+    * carries HTML markup — any span of an HTML-tag extractor kind. A doc
+    * of only `text` (or only `uri`) spans models a non-HTML file. */
   def isHtml(docs: DataFrame): DataFrame =
-    docs.withColumn("is_html", size(col("spans")) > 0)
+    docs.withColumn("is_html", isHtmlCol(col("spans")))
+
+  /** Column twins of the typechecks, for use inside engine expressions. */
+  def isHtmlCol(spans: Column): Column =
+    exists(spans, s => s.getField("kind").isin(HtmlKinds: _*))
+
+  def hasUrlsCol(spans: Column, docId: Column): Column = {
+    val isFtpPage = schemeOf(docId) === "ftp"
+    exists(spans, s =>
+      s.getField("kind") =!= "text" &&
+        (s.getField("kind") =!= "ftp" || isFtpPage))
+  }
+
+  /** Scala twins (sequential oracle). */
+  def isHtmlSeq(doc: graft.model.CorpusDoc): Boolean =
+    doc.spans.exists(s => HtmlKinds.contains(s.kind))
+
+  def hasUrlsSeq(doc: graft.model.CorpusDoc): Boolean = {
+    val isFtp = doc.doc_id.take(4).equalsIgnoreCase("ftp:")
+    doc.spans.exists(s => s.kind != "text" && (s.kind != "ftp" || isFtp))
+  }
 
   // ---- pure-Scala twin (used by the sequential oracle + unit tests) ----
 

@@ -28,6 +28,7 @@ object FixtureCorpus {
       quirkEvery: Int = 5,       // every Nth page gets a quirky extra link
       hotHostFactor: Int = 1,    // host0 gets factor x pages (skew knob)
       ftpHost: Boolean = true,
+      plainPages: Int = 1,       // text-only .txt pages (WRONG_TYPE bait)
       seed: Long = 42L)
 
   def hostName(i: Int): String = s"host$i.test"
@@ -124,6 +125,15 @@ object FixtureCorpus {
           Span("link", pageUrl(h, 0), "", 30)),
         fail_attempts = 1)
     }
+    // plain-text pages: non-empty, no HTML markup, no URLs — when SPIDERED
+    // they trip the typecheck (WRONG_TYPE, fetch.py:519-531); when
+    // SPIDER_FETCHed the fetcher downgrades to a plain fetch (no error)
+    for (i <- 0 until p.plainPages) {
+      val h = i % p.hosts
+      docs += CorpusDoc(
+        s"http://${hostName(h)}/d$h/plain$i.txt",
+        Seq(Span("text", s"just prose $i no markup no links", "", 0)))
+    }
     // ftp listing host: directory page with ftp-kind spans
     if (p.ftpHost) {
       docs += CorpusDoc(
@@ -142,6 +152,7 @@ object FixtureCorpus {
     val extraTargets =
       (0 until p.redirectPages).map(i => s"http://${hostName(i % p.hosts)}/d${i % p.hosts}/redirect$i.html") ++
       (0 until p.failPages).map(i => s"http://${hostName(i % p.hosts)}/d${i % p.hosts}/flaky$i.html") ++
+      (0 until p.plainPages).map(i => s"http://${hostName(i % p.hosts)}/d${i % p.hosts}/plain$i.txt") ++
       (if (p.ftpHost) Seq("ftp://ftp0.test/pub/") else Nil)
     val seedId = seedUrl(p)
     docs.zipWithIndex.find(_._1.doc_id == seedId).foreach { case (seedDoc, idx) =>

@@ -28,38 +28,58 @@ object UrlStatics {
     UTF8String.fromString(PyUrl.getScheme(url.toString))
   def urlFilename(url: UTF8String): UTF8String =
     UTF8String.fromString(UrlRewrite.urlToFilename(url.toString))
+  def urlPath(url: UTF8String): UTF8String =
+    UTF8String.fromString(PyUrl.urlsplit(url.toString).path)
 }
 
-abstract class UrlStaticExpr(
-    methodName: String,
-    f: UTF8String => UTF8String) extends UnaryExpression {
+/** No lambda fields: `evalImpl` is an abstract METHOD so the expression
+  * tree survives Java task (de)serialization — a Function1 field would
+  * need a serializable lambda, which method references are not. */
+abstract class UrlStaticExpr extends UnaryExpression {
+  def methodName: String
+  protected def evalImpl(u: UTF8String): UTF8String
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
-    f(input.asInstanceOf[UTF8String])
+    evalImpl(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.UrlStatics.$methodName($c)")
 }
 
-case class CanonicalHost(child: Expression)
-    extends UrlStaticExpr("canonicalHost", UrlStatics.canonicalHost) {
+case class CanonicalHost(child: Expression) extends UrlStaticExpr {
+  override def methodName: String = "canonicalHost"
+  override protected def evalImpl(u: UTF8String): UTF8String =
+    UrlStatics.canonicalHost(u)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "canonical_host"
 }
-case class CanonicalUrl(child: Expression)
-    extends UrlStaticExpr("canonicalUrl", UrlStatics.canonicalUrl) {
+case class CanonicalUrl(child: Expression) extends UrlStaticExpr {
+  override def methodName: String = "canonicalUrl"
+  override protected def evalImpl(u: UTF8String): UTF8String =
+    UrlStatics.canonicalUrl(u)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "canonical_url"
 }
-case class UrlScheme(child: Expression)
-    extends UrlStaticExpr("urlScheme", UrlStatics.urlScheme) {
+case class UrlScheme(child: Expression) extends UrlStaticExpr {
+  override def methodName: String = "urlScheme"
+  override protected def evalImpl(u: UTF8String): UTF8String =
+    UrlStatics.urlScheme(u)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "url_scheme"
 }
-case class UrlFilename(child: Expression)
-    extends UrlStaticExpr("urlFilename", UrlStatics.urlFilename) {
+case class UrlFilename(child: Expression) extends UrlStaticExpr {
+  override def methodName: String = "urlFilename"
+  override protected def evalImpl(u: UTF8String): UTF8String =
+    UrlStatics.urlFilename(u)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "url_filename"
+}
+case class UrlPath(child: Expression) extends UrlStaticExpr {
+  override def methodName: String = "urlPath"
+  override protected def evalImpl(u: UTF8String): UTF8String =
+    UrlStatics.urlPath(u)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_path"
 }
 
 object UrlFunctions {
@@ -74,5 +94,7 @@ object UrlFunctions {
       exprs => UrlScheme(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("url_filename",
       exprs => UrlFilename(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("url_path",
+      exprs => UrlPath(exprs.head), "built-in")
   }
 }

@@ -23,18 +23,22 @@ object GraphQueries {
       .limit(k)
 
   /** A2 print_multiple (`web.py:130-149`): documents with >1 URL (alias
-    * groups), largest groups first. */
+    * groups), largest groups first. Aliases joined to one sorted string —
+    * a stable, SQL-oracle-friendly shape. */
   def multiple(aliases: DataFrame): DataFrame =
     aliases.groupBy(col("canonicalUrl"))
       .agg((count(lit(1)) + 1).as("n_urls"),       // +1: canonical itself
-        sort_array(collect_list(col("aliasUrl"))).as("alias_urls"))
+        array_join(sort_array(collect_list(col("aliasUrl"))), "|")
+          .as("alias_urls"))
       .filter(col("n_urls") > 1)
       .orderBy(desc("n_urls"), asc("canonicalUrl"))
 
-  /** A3 print_stats (`web.py:151-154`): web size. */
+  /** A3 print_stats (`web.py:151-154`): web size. Exact distinct-host
+    * count (count_distinct shuffles by host — cheap next to the crawl;
+    * swap in approx_count_distinct at 10^10 if ±2% is acceptable). */
   def stats(seen: DataFrame): DataFrame =
     seen.agg(count(lit(1)).as("web_size"),
-      approx_count_distinct(col("canonicalHost")).as("approx_hosts"))
+      countDistinct(col("canonicalHost")).as("n_hosts"))
 
   /** G3 print_refs (`web.py:70-77`): out-/in-neighbors of a URL. */
   def outRefs(edges: DataFrame, url: String): DataFrame =
@@ -71,9 +75,10 @@ object GraphQueries {
         .select(col("src").as("url"),
           concat(col("path"), array(col("src"))).as("path"))
         .join(visited.withColumnRenamed("url", "v"), col("url") === col("v"), "left_anti")
-      // first-wins per url for determinism (shortest path uniqueness)
-      val dedup = next.groupBy("url").agg(min_by(col("path"), size(col("path"))
-        ).as("path")).persist()
+      // deterministic per-url reduction: all candidate paths at a BFS
+      // level share a length, so the lexicographically smallest path is a
+      // total tie-break (min over the orderable array column)
+      val dedup = next.groupBy("url").agg(min(col("path")).as("path")).persist()
       val hit = dedup.filter(col("url") === root).select("path")
         .as[Seq[String]].collect().headOption
       if (hit.isDefined) return hit.get.reverse

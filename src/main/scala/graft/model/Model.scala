@@ -96,13 +96,20 @@ final case class RecipeRule(
     depth: Int = 1,
     hostFilter: Option[String] = None)
 
+/** S2 fetch-state row (`fetch.py:205-217` partial-file stand-in):
+  * persisted per snapshot; fed back via CrawlConfig.resumeState after a
+  * crash so interrupted FETCHes resume from `bytes_done` iff the overlap
+  * `tail_hash` still matches. */
+final case class FetchStateRow(url: String, bytes_done: Long, tail_hash: Long)
+
 /** Engine-only scale knobs (north rule), absent in the reference. The
   * parity configuration is the defaults: unlimited budget, no robots,
   * FIFO priority — which degrades the scheduler to reference behavior. */
 final case class CrawlConfig(
     perHostBudget: Option[Int] = None,
     robots: Seq[RobotsRule] = Nil,
-    saltBuckets: Int = 1)
+    saltBuckets: Int = 1,
+    resumeState: Seq[FetchStateRow] = Nil)
 
 /** robots.txt-style rule: path prefix allow/deny per host. */
 final case class RobotsRule(host: String, pathPrefix: String, allow: Boolean)

@@ -34,11 +34,12 @@ object RefCrawler {
       seen: Vector[SeenRow],
       processed: Vector[ProcessedRow],
       dump: Vector[String],
-      edges: Set[(String, String)],
-      aliases: Vector[(String, String)],   // (canonical first-url, alias)
+      edges: Map[(String, String), Int],   // (src, dst) -> first wave
+      aliases: Vector[(String, String, Int)], // (canonical first-url, alias, wave)
       fetchLog: Vector[FetchLogEntry],
       robotsBlocked: Vector[String],
-      fetched: Vector[(String, String)])   // (url, collision-safe filename)
+      fetched: Vector[(String, String)],   // (url, collision-safe filename)
+      waveTotals: Vector[(Int, Int, Long, Long, Long)]) // (wave, ruleIdx, frontierRows, errorRows, discoveredRows)
 
   private sealed trait FetchOutcome
   private case object Success extends FetchOutcome
@@ -78,11 +79,13 @@ object RefCrawler {
       id
     }
 
-    val edges = mutable.LinkedHashSet.empty[(String, String)]
-    val aliasRows = Vector.newBuilder[(String, String)]
+    val edges = mutable.LinkedHashMap.empty[(String, String), Int]
+    val aliasRows = Vector.newBuilder[(String, String, Int)]
+    val waveTotals = Vector.newBuilder[(Int, Int, Long, Long, Long)]
     val dump = Vector.newBuilder[String]
     val processed = Vector.newBuilder[ProcessedRow]
     val fetchLog = Vector.newBuilder[FetchLogEntry]
+    var fetchLogErrors = 0L
     val robotsBlocked = Vector.newBuilder[String]
     val fetchedRaw = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -92,7 +95,7 @@ object RefCrawler {
       children.foreach { c =>
         if (c != url) {
           if (!index.contains(c)) addNode(c, waveNo)
-          edges += ((url, c))
+          if (!edges.contains((url, c))) edges((url, c)) = waveNo
         }
       }
     }
@@ -102,17 +105,36 @@ object RefCrawler {
       index(newUrl) = id
       nodeAliases(id) += newUrl
       seen += SeenRow(newUrl, waveNo, seqCounter); seqCounter += 1
-      aliasRows += ((nodeFirstUrl(id), newUrl))
+      aliasRows += ((nodeFirstUrl(id), newUrl, waveNo))
     }
 
     addNode(seedUrl, 0) // Web(root) — seed is seen from the start
+
+    val resumeByUrl: Map[String, FetchStateRow] =
+      config.resumeState.map(r => r.url -> r).toMap
+    // S2 resume verdict (fetch.py:205-217); CONT path is non-SPIDER only
+    def resumeErr(url: String, d: CorpusDoc, mode: Int): Option[Int] =
+      if (mode == Mode.SPIDER) None
+      else resumeByUrl.get(url)
+        .map(st => graft.engine.FetchResume.verdict(
+          graft.engine.FetchResume.contentOf(d), st))
+        .filter(_ != ErrorCode.NONE)
 
     def fetch(url: String, attempt: Int, mode: Int): FetchOutcome = {
       val out = docs.get(url) match {
         case None => Failed(ErrorCode.DNS)
         case Some(d) if attempt < d.fail_attempts => Failed(ErrorCode.TIMEOUT)
+        case Some(d) if resumeErr(url, d, mode).isDefined =>
+          Failed(resumeErr(url, d, mode).get)
         case Some(d) if d.redirect_to.isDefined => Redirected(d.redirect_to.get)
         case Some(d) if d.spans.isEmpty => Failed(ErrorCode.NO_DATA)
+        // SPIDER-mode typecheck (fetch.py:512-531): neither HTML nor
+        // URL-bearing -> WrongFileTypeError. FETCH is pre-typechecked
+        // (fetch.py:384-385); SPIDER_FETCH downgrades to plain fetch
+        // instead of erroring (fetch_if_wrongtype, fetch.py:390-391).
+        case Some(d) if mode == Mode.SPIDER &&
+          !Extract.isHtmlSeq(d) && !Extract.hasUrlsSeq(d) =>
+          Failed(ErrorCode.WRONG_TYPE)
         case Some(_) => Success
       }
       val code = out match {
@@ -121,6 +143,7 @@ object RefCrawler {
         case Success => ErrorCode.NONE
       }
       fetchLog += FetchLogEntry(url, mode, waveNo, code, attempt)
+      if (code != ErrorCode.NONE) fetchLogErrors += 1
       out
     }
 
@@ -209,8 +232,9 @@ object RefCrawler {
     }
 
     // process_records (spiderfetch.py:138-190)
-    def processRecords(queue: Seq[Rec], rule: RecipeRule): Seq[Rec] = {
+    def processRecords(queue: Seq[Rec], rule: RecipeRule, ruleIdx: Int): Seq[Rec] = {
       waveNo += 1
+      val errorsBefore = fetchLogErrors
       val newqueue = mutable.ArrayBuffer.empty[Rec]
       val admitted = queue.filter { r =>
         val ok = robotsAllows(r.url)
@@ -248,6 +272,8 @@ object RefCrawler {
             pending = pending.sortBy(_._1)
           }
       }
+      waveTotals += ((waveNo, ruleIdx, admitted.length.toLong,
+        fetchLogErrors - errorsBefore, newqueue.length.toLong))
       newqueue.toSeq
     }
 
@@ -279,7 +305,7 @@ object RefCrawler {
           queue = fq
           outerQueue = sq
         }
-        queue = processRecords(queue, rule)
+        queue = processRecords(queue, rule, ruleIdx)
       }
     }
 
@@ -294,7 +320,7 @@ object RefCrawler {
 
     CrawlResult(
       seen.result(), processed.result(), dump.result(),
-      edges.toSet, aliasRows.result(), fetchLog.result(), robotsBlocked.result(),
-      fetched)
+      edges.toMap, aliasRows.result(), fetchLog.result(), robotsBlocked.result(),
+      fetched, waveTotals.result())
   }
 }

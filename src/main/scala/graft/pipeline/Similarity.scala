@@ -89,37 +89,77 @@ object Similarity {
 
   // ----------------------------------------------------------------- IVF
 
-  /** Deterministic coarse centroids: the first k vectors by id. One
-    * k-means refinement pass would sharpen cells; sampled centroids keep
-    * the index fully deterministic and rebuild-free. */
+  /** Deterministic seed centroids: the first k vectors by id. */
   def sampledCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
                        k: Int): Array[Seq[Double]] =
     embeddings.orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0))
 
+  /** Half-up rounding to 6 dp — shared by the Scala and SQL twins so
+    * cross-engine centroid reproduction is exact. */
+  @inline def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /**
+   * Lloyd-refined centroids (k-means with deterministic seeds — the
+   * round-1 "first-k-by-id only" index clustered by data-order luck):
+   * `iters` assign+mean passes over the deterministic seeds. Centroids
+   * are rounded to 6 dp each pass and empty cells keep their previous
+   * centroid, so the index is exactly reproducible from (data, k, iters)
+   * on any engine — the DuckDB oracle rebuilds it in SQL.
+   * Scale shape: each pass is one scan + one (cell, dim)-keyed partial
+   * aggregation (k*dim rows to the driver), the standard distributed
+   * Lloyd step.
+   */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2): Array[Seq[Double]] = {
+    var cents = sampledCentroids(embeddings, idCol, vecCol, k)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    (0 until iters).foreach { _ =>
+      val assigned = withIvfCell(
+        embeddings.select(col(vecCol).as("v")), "v", cents)
+      val means = assigned
+        .select(col("cell"),
+          posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, i) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getInt(1)) = round6(r.getDouble(2)))
+            arr.toSeq
+          case None => prev
+        }
+      }
+    }
+    cents
+  }
+
   /** Assign each vector to its nearest (max-dot) centroid — an IVF-Flat
-    * index as a plain column. At scale: `repartition(cell)` + parquet
-    * partitioning makes the probe a partition-pruned scan. */
+    * index as a plain column; deterministic lowest-index tie-break. At
+    * scale: `repartition(cell)` + parquet partitioning makes the probe a
+    * partition-pruned scan. */
   def withIvfCell(df: DataFrame, vecCol: String,
                   centroids: Array[Seq[Double]]): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(dot(col(vecCol).cast("array<double>"), typedLit(c)).as("d"),
-        lit(i).as("idx"))
+        lit(-i).as("negidx"))
     }
-    df.withColumn("cell", array_max(array(scored: _*)).getField("idx"))
+    df.withColumn("cell", -array_max(array(scored: _*)).getField("negidx"))
   }
 
   /** IVF ANN top-k: probe the nprobe nearest cells, exact cosine within.
-    * Expected scan fraction = nprobe / k-cells. */
+    * Expected scan fraction = nprobe / cells. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, cells: Int = 16,
-              nprobe: Int = 4): DataFrame = {
-    val cents = sampledCentroids(embeddings, idCol, vecCol, cells)
+              nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(embeddings, idCol, vecCol, cells, iters)
     val qd = query.map(_.toDouble)
     val probeCells = cents.zipWithIndex
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
-      .sortBy(-_._1).take(nprobe).map(_._2)
+      .sortBy { case (d, i) => (-d, i) }.take(nprobe).map(_._2)
     val q = typedLit(qd)
     withIvfCell(embeddings, vecCol, cents)
       .filter(col("cell").isin(probeCells: _*))

@@ -108,11 +108,27 @@ final class CuckooFilter private (
 
   /** Re-insert a stored fingerprint at bucket i (or its alternate) —
     * possible because the alternate index is derivable from (i, fp)
-    * alone (partial-key cuckoo hashing). Used by merge. */
-  private[seenset] def insertFingerprint(i: Int, fp: Char): Boolean = {
-    if (bucketInsert(i, fp) || bucketInsert(altIndex(i, fp), fp)) {
-      count += 1; true
-    } else false
+    * alone (partial-key cuckoo hashing). Used by merge. Falls back to
+    * cuckoo kicking like a fresh insert: without it, merges overflow at
+    * ~50% load and a size-adequate filter would spuriously fail. */
+  private[seenset] def insertFingerprint(i0: Int, fp0: Char): Boolean = {
+    if (bucketInsert(i0, fp0) || bucketInsert(altIndex(i0, fp0), fp0)) {
+      count += 1; return true
+    }
+    var i = altIndex(i0, fp0)
+    var f = fp0
+    val rnd = new java.util.Random(fp0 * 0x9e3779b9L + i0)
+    var n = 0
+    while (n < MaxKicks) {
+      val slot = i * BucketSize + rnd.nextInt(BucketSize)
+      val evicted = table(slot)
+      table(slot) = f
+      f = evicted
+      i = altIndex(i, f)
+      if (bucketInsert(i, f)) { count += 1; return true }
+      n += 1
+    }
+    false
   }
 
   /** Merge another filter of the SAME size by re-inserting its

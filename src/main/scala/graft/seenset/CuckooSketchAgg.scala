@@ -16,13 +16,25 @@ class CuckooSketchAgg(expectedItems: Long)
 
   override def zero: CuckooFilter = CuckooFilter.create(expectedItems)
 
+  // The sketch's seen-set contract is NO false negatives: a silently
+  // dropped insert would let a seen URL pass the sketch as "new". insert
+  // and mergeInPlace both report overflow — fail loudly so the caller
+  // re-sizes from observed counts instead of shipping a lying sketch.
   override def reduce(b: CuckooFilter, a: String): CuckooFilter = {
-    b.insert(a); b
+    if (!b.insert(a))
+      throw new IllegalStateException(
+        s"cuckoo filter over capacity at ${b.size} items — " +
+          "size expectedItems from observed counts")
+    b
   }
 
   override def merge(b1: CuckooFilter, b2: CuckooFilter): CuckooFilter = {
-    if (b1.size >= b2.size) { b1.mergeInPlace(b2); b1 }
-    else { b2.mergeInPlace(b1); b2 }
+    val (into, from) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+    if (!into.mergeInPlace(from))
+      throw new IllegalStateException(
+        s"cuckoo merge overflow at ${into.size} items — " +
+          "size expectedItems from observed counts")
+    into
   }
 
   override def finish(reduction: CuckooFilter): Array[Byte] =

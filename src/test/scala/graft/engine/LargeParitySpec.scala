@@ -46,7 +46,7 @@ class LargeParitySpec extends AnyFunSuite {
     assert(eDump == oracle.dump, "dump order")
 
     val eEdges = engine.edges.select("src", "dst").as[(String, String)].collect.toSet
-    assert(eEdges == oracle.edges, "edges")
+    assert(eEdges == oracle.edges.keySet, "edges")
 
     val eFetched = engine.fetched.orderBy("ord")
       .select("url", "filename").as[(String, String)].collect.toSeq

@@ -60,6 +60,63 @@ class ResumeSpec extends AnyFunSuite {
     assert(fetchedOf(resumed) == fetchedOf(full), "fetched")
   }
 
+  test("S2 fetch-state: byte-range resume verdicts (ok / checksum / no_resume)") {
+    import graft.oracle.RefCrawler
+    import org.apache.spark.sql.functions.col
+    val mk = (name: String, body: String) =>
+      CorpusDoc(s"http://h0.test/$name", Seq(Span("text", body, "", 0)))
+    val seedDoc = CorpusDoc("http://h0.test/seed.html",
+      Seq("a.txt", "b.txt", "c.txt").zipWithIndex.map { case (t, i) =>
+        Span("link", s"http://h0.test/$t", "", 10 + i * 30) })
+    val docs = Seq(seedDoc,
+      mk("a.txt", "alpha content body long enough to have a resume tail"),
+      mk("b.txt", "beta content body long enough to have a resume tail"),
+      mk("c.txt", "gamma content"))
+    def content(n: String) = FetchResume.contentOf(docs.find(_.doc_id.endsWith(n)).get)
+    val aLen = content("a.txt").length / 2
+    val states = Seq(
+      // valid partial: resume succeeds (outcome NONE, no refetch error)
+      FetchStateRow("http://h0.test/a.txt", aLen,
+        FetchResume.tailHash(content("a.txt"), aLen)),
+      // corrupted overlap: ResumeChecksumFailed
+      FetchStateRow("http://h0.test/b.txt", content("b.txt").length / 2, 12345L),
+      // partial longer than current content: ResumeNotSupported
+      FetchStateRow("http://h0.test/c.txt", content("c.txt").length + 10, 0L))
+    val rules = Seq(RecipeRule(spider = Some(".*\\.html$"),
+      fetch = Some(".*\\.txt$"), depth = 2))
+    val config = CrawlConfig(resumeState = states)
+
+    val oracle = RefCrawler.run(docs, seedDoc.doc_id, rules, config = config)
+    val engine = new CrawlEngine(spark, docs.toDF, seedDoc.doc_id, rules,
+      config = config).run()
+    val eLog = engine.fetchLog.select("url", "errorCode")
+      .as[(String, Int)].collect.toMap
+    assert(eLog("http://h0.test/a.txt") == ErrorCode.NONE, "valid partial resumes")
+    assert(eLog("http://h0.test/b.txt") == ErrorCode.CHECKSUM)
+    assert(eLog("http://h0.test/c.txt") == ErrorCode.NO_RESUME)
+    val oLog = oracle.fetchLog.map(l => (l.url, l.errorCode)).toMap
+    assert(eLog == oLog, "fetch-log parity under resume state")
+  }
+
+  test("snapshot persists the fetch_state table for crash recovery") {
+    val dir = tmpDir("fstate")
+    val io = new TableIO(dir, spark)
+    new CrawlEngine(spark, corpus.toDF, seed, rules,
+      checkpoint = Some(io)).run()
+    val snap = io.latest.get
+    assert(snap.tables.contains("fetch_state"))
+    val st = io.table(snap, "fetch_state")
+    assert(st.columns.toSet == Set("url", "bytes_done", "tail_hash"))
+    // every completed fetch is resumable against the unchanged corpus
+    import org.apache.spark.sql.functions.col
+    val rows = st.as[FetchStateRow].collect.toSeq
+    val byId = corpus.map(d => d.doc_id -> d).toMap
+    rows.foreach { r =>
+      val v = FetchResume.verdict(FetchResume.contentOf(byId(r.url)), r)
+      assert(v == ErrorCode.NONE, s"state row not resumable: $r")
+    }
+  }
+
   test("snapshot manifest carries per-partition lineage + metrics") {
     val dir = tmpDir("manifest")
     val io = new TableIO(dir, spark)

@@ -39,7 +39,7 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(GraphQueries.inRefs(edges, "c").as[String].collect.toSet == Set("b", "a"))
     val aliases = Seq(("u1", "u2", 1), ("u1", "u3", 1)).toDF("canonicalUrl", "aliasUrl", "wave")
     assert(GraphQueries.aliasesOf(aliases, "u2").count() == 1)
-    val m = GraphQueries.multiple(aliases).as[(String, Long, Seq[String])].collect.toSeq
-    assert(m == Seq(("u1", 3L, Seq("u2", "u3"))))
+    val m = GraphQueries.multiple(aliases).as[(String, Long, String)].collect.toSeq
+    assert(m == Seq(("u1", 3L, "u2|u3")))
   }
 }

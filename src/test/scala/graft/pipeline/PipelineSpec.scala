@@ -100,21 +100,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.map(_._2) == top.map(_._2).sorted.reverse)
   }
 
-  test("IVF ANN: recall@10 >= 0.6 while probing a fraction of the cells") {
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+  test("IVF ANN with k-means refinement: recall@10 >= 0.9 at nprobe 6/16") {
+    // round-1 verdict #10: first-k-by-id "centroids" made recall
+    // data-order luck; two Lloyd passes must reach recall@10 >= 0.9
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
     val q = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
       .select("vec_id").as[Long].collect.toSet
     val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
-      cells = 16, nprobe = 6).select("vec_id").as[Long].collect.toSet
+      cells = 16, nprobe = 6, iters = 2).select("vec_id").as[Long].collect.toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"recall $recall")
+    assert(recall >= 0.9, s"recall $recall")
     // and the probe prunes: scanned candidates well under the full table
-    val cents = Similarity.sampledCentroids(emb, "vec_id", "embedding", 16)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
     val scanned = Similarity.withIvfCell(emb, "embedding", cents)
       .groupBy("cell").count().orderBy(desc("count")).limit(6)
       .agg(sum("count")).as[Long].head()
     assert(scanned < emb.count(), s"scanned $scanned")
+  }
+
+  test("hot-bucket cap: 10^5 identical docs do not go quadratic") {
+    // a degenerate band key (boilerplate/empty docs) must stay bounded:
+    // bucketCap keeps the C lowest ids per bucket -> C*(C-1)/2 pairs, not
+    // n^2/2 (round-1 verdict #6)
+    val n = 100000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("identical boilerplate page content repeated everywhere").as("text"))
+    val cap = 64
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 5, k = 64, bands = 16, threshold = 0.9, bucketCap = cap)
+    val nPairs = pairs.count()
+    assert(nPairs == cap.toLong * (cap - 1) / 2,
+      s"expected capped pair count, got $nPairs")
+    // kept members pair with each other (identical docs share ALL buckets)
+    val ids = pairs.select("id_a").as[Long].collect.toSet
+    assert(ids.subsetOf((0L until cap.toLong).toSet))
   }
 
   test("hyperplane LSH top-k returns plausible neighbors (bucketed path)") {

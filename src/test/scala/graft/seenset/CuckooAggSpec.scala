@@ -21,6 +21,23 @@ class CuckooAggSpec extends AnyFunSuite {
     assert(fp < 400, s"fp=$fp")
   }
 
+  test("overflow fails loudly — never a silent false-negative factory") {
+    // undersized sketch: the aggregation must THROW (reduce-insert or
+    // merge overflow), not drop fingerprints and report success
+    val df = (0 until 50000).map(i => s"http://h$i.test/p$i").toDF("url")
+      .repartition(8)
+    val e = intercept[Exception] {
+      df.agg(CuckooSketchAgg.cuckooSketch(col("url"), 64).as("sk"))
+        .select("sk").as[Array[Byte]].head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains("capacity") ) ||
+        Option(c.getMessage).exists(_.contains("overflow"))),
+      s"expected a capacity/overflow failure, got: $e")
+  }
+
   test("cuckoo merge re-inserts fingerprints exactly (serialize round-trip)") {
     val a = CuckooFilter.create(4096)
     val b = CuckooFilter.create(4096)

@@ -32,6 +32,10 @@ class SketchSpec extends AnyFunSuite {
     assert(CuckooFilter.hash64("") == 0xcbf29ce484222325L)
   }
 
+  test("cuckoo serialized size is capacity-determined (pins the q22 oracle)") {
+    assert(CuckooFilter.create(16384).serialized.length == 65552)
+  }
+
   test("property: inserted strings are always found (seeded random corpora)") {
     val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.asciiPrintableStr)
     val prop = org.scalacheck.Prop.forAll(gen) { xs =>
