@@ -410,14 +410,16 @@ object Queries {
     docs.unionByName(planted)
   }
 
-  /** Banding r=4 (k=128, 32 bands): P(candidate) at the corpus's lowest
-    * true pair (j=0.839) is 1-(1-j^4)^32 ≈ 1-3e-10 — the DuckDB oracle is
+  /** Banding r=5 (k=120, 24 bands): P(candidate) at the corpus's lowest
+    * true pair (j=0.839) is 1-(1-j^5)^24 ≈ 1-2e-6 — the DuckDB oracle is
     * the EXACT all-pairs verify, so candidate generation must be
-    * (deterministically) complete on this data. */
+    * (deterministically) complete on this data, while random low-jaccard
+    * pairs stay out of the verify join (r=4 let ~5% of them through and
+    * the verify stage dominated the bench at sf0.1). */
   def q14MinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
       withPlantedDups(s.read.parquet(p(dir, "documents"))),
-      "doc_id", "text", shingleN = 5, k = 128, bands = 32, threshold = 0.6)
+      "doc_id", "text", shingleN = 5, k = 120, bands = 24, threshold = 0.6)
       .orderBy("id_a", "id_b")
 
   /** Exact-verify twin of the LSH stage: all pairs with char-5-gram

@@ -71,6 +71,9 @@ class CrawlEngine(
   private var ordCounter: Long = 0L
   private var waveNo: Int = 0
   private var waveErrorCount: Long = 0L
+  // per-partition (rows, errors) of the wave's fetch batches (A4 lineage)
+  private var wavePartStats: Map[Int, (Long, Long)] = Map.empty
+  private var lastWaveDiscovered: Long = 1L // seed queue is non-empty
   private var sketch: SeenFilter = SeenFilter.empty
 
   private def tables: CrawlTables = {
@@ -126,15 +129,19 @@ class CrawlEngine(
    * Returns (persisted df with the rank column, row count).
    */
   private def withOrderedIndex(df: DataFrame, sortCols: Seq[Column],
-                               name: String, offset: Long): (DataFrame, Long) = {
-    val nPart = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    // localCheckpoint, not persist: ranked outputs feed the NEXT wave's
-    // plans — without truncation here the logical plan grows with every
-    // wave and analysis/explain goes quadratic in crawl depth
-    val mid = df.repartitionByRange(nPart, sortCols: _*)
+                               name: String, offset: Long,
+                               truncateLineage: Boolean = true): (DataFrame, Long) = {
+    // localCheckpoint when the ranked output feeds the NEXT wave's plans —
+    // without truncation the logical plan grows with every wave and
+    // analysis/explain goes quadratic in crawl depth; plain persist when
+    // the output only lands in end-of-crawl accumulators (one less job).
+    // No explicit partition count: AQE coalesces the range shuffle for
+    // tiny waves (task-latency dominated) and widens it for big ones.
+    val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_g_mid", monotonically_increasing_id())
-      .localCheckpoint(true)
+    val mid = if (truncateLineage) sorted.localCheckpoint(true)
+      else sorted.persist()
     val parts = mid.groupBy(shiftright(col("_g_mid"), 33).as("_g_pid")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val total = parts.map(_._2).sum
@@ -220,7 +227,8 @@ class CrawlEngine(
         queue = processWave(queue, rule, ruleIdx)
         commitWave(ruleIdx, depth, queue, outer)
         if (stopAfterWaves.exists(waveNo >= _)) return tables
-        more = queue.limit(1).count() > 0
+        // processWave already counted its discoveries — no extra job
+        more = lastWaveDiscovered > 0
       }
       ruleIdx += 1
     }
@@ -245,9 +253,9 @@ class CrawlEngine(
   private def processWave(queue: DataFrame, rule: RecipeRule, ruleIdx: Int): DataFrame = {
     waveNo += 1
     waveErrorCount = 0L
+    wavePartStats = Map.empty
     val (admitted0, blocked) = Scheduler.robotsFilter(spark, queue, config.robots)
-    val nBlocked = blocked.count()
-    if (nBlocked > 0)
+    if (config.robots.nonEmpty && blocked.count() > 0)
       robotsBlocked = robotsBlocked.unionByName(
         blocked.select(lit(waveNo).as("wave"), col("url"), col("seq")))
 
@@ -257,7 +265,8 @@ class CrawlEngine(
       case None =>
         val admitted = admitted0.persist()
         frontierRows = admitted.count()
-        val (frag1, retries) = processBatch(admitted, rule)
+        val (frag1, retries) = processBatch(admitted, rule,
+          knownNonEmpty = frontierRows > 0)
         val (frag2, _) = processBatch(retries, rule) // retried once only
         discovered = frag1.unionByName(frag2)
       case Some(k) =>
@@ -269,19 +278,23 @@ class CrawlEngine(
         frontierRows = pendingCount
         while (pendingCount > 0) {
           val (chunk, rest) = Scheduler.dequeueChunk(pending, k)
-          val (frag, retries) = processBatch(chunk.persist(), rule)
+          // top-k of a non-empty pending set is non-empty
+          val (frag, retries) = processBatch(chunk.persist(), rule,
+            knownNonEmpty = true)
           discovered = discovered.unionByName(frag)
           pending = rest.unionByName(retries).localCheckpoint(true)
           pendingCount = pending.count()
         }
     }
 
-    // per-partition lineage metrics (north rule)
+    // per-partition lineage metrics (north rule): rows fetched and errors
+    // per physical partition of the wave's fetch join (A4)
     val waveErrors = waveErrorCount
     val discN = discovered.count()
-    val partRows = queue.groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => WaveMetrics(waveNo, ruleIdx, r.getInt(0),
-        r.getLong(1), r.getLong(1), 0L, 0L)).toSeq
+    lastWaveDiscovered = discN
+    val partRows = wavePartStats.toSeq.sortBy(_._1).map { case (pid, (n, e)) =>
+      WaveMetrics(waveNo, ruleIdx, pid, n, n, e, 0L)
+    }
     val totalRow = WaveMetrics(waveNo, ruleIdx, -1, frontierRows, frontierRows,
       waveErrors, discN)
     metrics = metrics.unionByName((partRows :+ totalRow).toDF)
@@ -299,8 +312,10 @@ class CrawlEngine(
    * computed analytically by RedirectResolver — jobs per wave scale with
    * the longest redirect chain, not with the number of redirects.
    */
-  private def processBatch(records: DataFrame, rule: RecipeRule): (DataFrame, DataFrame) = {
-    if (records.limit(1).count() == 0) return (emptyFrontier, emptyFrontier)
+  private def processBatch(records: DataFrame, rule: RecipeRule,
+                           knownNonEmpty: Boolean = false): (DataFrame, DataFrame) = {
+    if (!knownNonEmpty && records.limit(1).count() == 0)
+      return (emptyFrontier, emptyFrontier)
 
     val joinedBase = records.join(corpusN, col("url") === col("doc_id"), "left")
     val joined = (config.resumeState match {
@@ -311,8 +326,23 @@ class CrawlEngine(
     }).withColumn("outcome", CrawlEngine.outcomeCol)
       .persist()
 
+    // ONE aggregation materializes the batch AND yields the per-partition
+    // lineage rows (A4), the origin error count, and the redirect flag —
+    // three former jobs folded into the cache-warming pass
+    val batchStats = joined.groupBy(spark_partition_id().as("_pid"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("outcome") =!= ErrorCode.NONE, 1L).otherwise(0L)).as("_e"),
+        sum(when(col("outcome") === ErrorCode.REDIRECT, 1L).otherwise(0L)).as("_r"))
+      .collect()
+    batchStats.foreach { r =>
+      val prev = wavePartStats.getOrElse(r.getInt(0), (0L, 0L))
+      wavePartStats += r.getInt(0) ->
+        (prev._1 + r.getLong(1), prev._2 + r.getLong(2))
+    }
+    waveErrorCount += batchStats.map(_.getLong(2)).sum
+
     val redirects = joined.filter(col("outcome") === ErrorCode.REDIRECT)
-    val hasRedirects = redirects.limit(1).count() > 0
+    val hasRedirects = batchStats.map(_.getLong(3)).sum > 0
 
     // spidering sources: successful SPIDER-mode rows (spiderfetch.py:156-161)
     val nonRedirectCands = qualifyCandidates(
@@ -336,7 +366,9 @@ class CrawlEngine(
     val (procOrdered, nProc) = withOrderedIndex(
       joined.select(col("seq"), lit(waveNo).as("wave"), col("url"),
         col("mode"), col("retry"), col("outcome")),
-      Seq(col("seq")), "ord", ordCounter)
+      Seq(col("seq")), "ord", ordCounter,
+      // feeds only end-of-crawl accumulators; lineage stays bounded
+      truncateLineage = false)
     ordCounter += nProc
     processed = processed.unionByName(
       procOrdered.select("wave", "ord", "url", "mode", "retry"))
@@ -352,7 +384,12 @@ class CrawlEngine(
       case None => originLog
     }
     fetchLog = fetchLog.unionByName(logAll)
-    waveErrorCount += logAll.filter(col("errorCode") =!= ErrorCode.NONE).count()
+    // origin-fetch errors were counted in batchStats; chain-hop errors
+    // only exist when the batch had redirects
+    analysis.foreach { a =>
+      waveErrorCount += a.validHops
+        .filter(col("to_outcome") =!= ErrorCode.NONE).count()
+    }
 
     // ---- S5 fetched-file sink: FETCH-mode records move their file to a
     // collision-safe final name (spiderfetch.py:163-165); redirected

@@ -73,7 +73,10 @@ object Scheduler {
   def dequeueChunk(pending: DataFrame, perHostBudget: Int,
                    priority: String = "seq",
                    saltBuckets: Int = 16,
-                   broadcastRejoin: Boolean = true): (DataFrame, DataFrame) = {
+                   broadcastRejoin: Boolean =
+                     !sys.env.get("SPARK_GRAFT_DEQUEUE_SHUFFLE_REJOIN")
+                       .contains("1"),
+                   materializeIds: Boolean = true): (DataFrame, DataFrame) = {
     val w1 = Window.partitionBy(col("host"), col("_salt")).orderBy(col(priority))
     val w2 = Window.partitionBy(col("host")).orderBy(col(priority))
     val salted =
@@ -92,12 +95,20 @@ object Scheduler {
       .withColumn("_hrk", row_number().over(w2)) // exact rank on the pruned set
       .filter(col("_hrk") <= perHostBudget)
       .select("seq")
-      .persist() // tiny (budget x hosts); read by BOTH the semi and anti join
-    val ids = if (broadcastRejoin) broadcast(chunkIds) else chunkIds
+    // cache only when the caller consumes BOTH sides in separate actions
+    // (engine budget loop); single-action callers would just leak storage
+    val cached = if (materializeIds) chunkIds.persist() else chunkIds
+    val ids = if (broadcastRejoin) broadcast(cached) else cached
     val chunk = pending.join(ids, Seq("seq"), "left_semi")
     val rest = pending.join(ids, Seq("seq"), "left_anti")
     (chunk, rest)
   }
+
+  /** Single-action variant: no id caching (nothing leaks into storage). */
+  def dequeueChunkOnly(pending: DataFrame, perHostBudget: Int,
+                       saltBuckets: Int = 16): DataFrame =
+    dequeueChunk(pending, perHostBudget, saltBuckets = saltBuckets,
+      materializeIds = false)._1
 
   /**
    * Scale-path dequeue ordering: repartition by (host, salt) so one hot

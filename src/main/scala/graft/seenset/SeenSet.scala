@@ -250,7 +250,13 @@ object SeenSet {
     val seenKeys = seen.select(col(urlCol))
     sketch.filter(_.isDefined) match {
       case Some(f) =>
-        val (definitelyNew, maybeSeen) = f.split(spark, candidates, urlCol, hostCol)
+        // cache the candidate subtree: the split's two branches and the
+        // union would otherwise evaluate it 2x CONCURRENTLY (one union
+        // job), doubling peak sort/shuffle memory — at high thread counts
+        // that tips the executor into spill thrash
+        val c = candidates.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (definitelyNew, maybeSeen) = f.split(spark, c, urlCol, hostCol)
         definitelyNew.unionByName(
           maybeSeen.join(seenKeys, Seq(urlCol), "left_anti"))
       case None =>
