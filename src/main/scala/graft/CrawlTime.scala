@@ -7,9 +7,25 @@ object CrawlTime {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val (thr, n) = Bench.crawlThroughput(spark,
-      fanout = args.headOption.map(_.toInt).getOrElse(100))
-    println(f"CRAWLBENCH urls=$n thr=${thr.toLong}/s")
+    if (args.headOption.contains("fixture")) {
+      // time the shared fixture crawl (the driver's crawl_seen query),
+      // with a job counter to see where per-wave overhead lands
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        Queries.crawlCacheClear()
+        val n = Queries.crawlSeen(spark, "").count()
+        println(f"FIXTURE run$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.1f jobs=${jobs.getAndSet(0)}")
+      }
+    } else {
+      val (thr, n) = Bench.crawlThroughput(spark,
+        fanout = args.headOption.map(_.toInt).getOrElse(100))
+      println(f"CRAWLBENCH urls=$n thr=${thr.toLong}/s")
+    }
     spark.stop()
   }
 }

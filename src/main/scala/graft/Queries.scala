@@ -49,6 +49,9 @@ object Queries {
     fetch = Some("(?i).*\\.bz2$"),
     dump = Some(".*page[12]\\.html$"), depth = 3))
 
+  /** Test/bench hook: force the next fixtureCrawl to re-run. */
+  def crawlCacheClear(): Unit = crawlCache.clear()
+
   def fixtureCrawl(spark: SparkSession): CrawlTables =
     crawlCache.computeIfAbsent("t", _ => {
       import spark.implicits._

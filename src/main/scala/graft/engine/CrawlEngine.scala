@@ -24,11 +24,11 @@ import org.apache.spark.sql.expressions.Window
  * global `seq` (its discovery rank); every wave's discoveries are ranked by
  * (parent seq, extract idx) — exactly FIFO-enqueue order — and appended
  * after current maxima. Retries re-enter the same wave after the original
- * records (`spiderfetch.py:150-154`); redirect records are sequence points
- * (their dedup test observes earlier records' discoveries,
- * `spiderfetch.py:87-102`), so a wave is processed as segments split at
- * redirect records — scale note: waves without redirects (the common case)
- * run as ONE distributed batch.
+ * records (`spiderfetch.py:150-154`). Redirect records are sequence points
+ * (each hop's dedup test observes earlier records' discoveries and aliases,
+ * `spiderfetch.py:87-102`); their sequential interleaving is reconstructed
+ * analytically by RedirectResolver, so EVERY wave runs as one distributed
+ * batch and jobs scale with chain length, not redirect count.
  *
  * "Fetching" in-sandbox is the lookup join against the span-table corpus
  * (the corpus IS the web); on a real deploy the join body is replaced by a
@@ -66,14 +66,15 @@ class CrawlEngine(
   private var fetchLog: DataFrame = _
   private var robotsBlocked: DataFrame = _
   private var metrics: DataFrame = _
-  private var fetched: DataFrame = _  // raw fetched-file log (wave, ord, url)
+  private var fetched: DataFrame = _  // raw fetched-file log (batch_ord, seq, wave, url)
   private var seqCounter: Long = 0L
-  private var ordCounter: Long = 0L
+  private var batchOrd: Long = 0L // sequential batch counter (ord prefix key)
   private var waveNo: Int = 0
   private var waveErrorCount: Long = 0L
   // per-partition (rows, errors) of the wave's fetch batches (A4 lineage)
   private var wavePartStats: Map[Int, (Long, Long)] = Map.empty
   private var lastWaveDiscovered: Long = 1L // seed queue is non-empty
+  private var lastBatchNoRetries: Boolean = false
   private var sketch: SeenFilter = SeenFilter.empty
 
   private def tables: CrawlTables = {
@@ -88,11 +89,22 @@ class CrawlEngine(
       edges = edges.localCheckpoint(true)
       fetched = fetched.localCheckpoint(true)
     }
+    // the global processing order `ord` is assigned ONCE here — the crawl
+    // accumulates raw (batch_ord, seq) keys instead of ranking per batch
+    // (two Spark actions per batch saved; the key pair is already the
+    // total processing order: batches are sequential, seq orders within)
+    val (procRanked, _) = withOrderedIndex(processed,
+      Seq(col("batch_ord"), col("seq")), "ord", 0L, truncateLineage = false)
+    val processedTable = procRanked
+      .select("wave", "ord", "url", "mode", "retry")
     // collision-safe filenames (ioutils.safe_filename + F8): n-th use of a
     // base name (in processing order) gets suffix ".n"
     val fetchedNamed = {
       import spark.implicits._
-      val named = fetched.select("wave", "ord", "url")
+      val named = fetched
+        .join(procRanked.select(col("batch_ord"), col("seq"), col("ord")),
+          Seq("batch_ord", "seq"))
+        .select(col("wave"), col("ord"), col("url"))
         .as[(Int, Long, String)]
         .map { case (w, o, u) => (w, o, u, UrlRewrite.urlToFilename(u)) }
         .toDF("wave", "ord", "url", "base")
@@ -104,7 +116,7 @@ class CrawlEngine(
             .otherwise(concat(col("base"), lit("."), col("_n"))))
         .select("wave", "ord", "url", "filename")
     }
-    CrawlTables(seen, processed, dumped,
+    CrawlTables(seen, processedTable, dumped,
       edges.groupBy("src", "dst").agg(min("wave").as("wave")),
       aliases, fetchLog, robotsBlocked, metrics, fetchedNamed)
   }
@@ -173,7 +185,7 @@ class CrawlEngine(
     metrics = spark.emptyDataset[WaveMetrics].toDF
     fetched = spark.emptyDataset[FetchedRaw].toDF
     seqCounter = 1L
-    ordCounter = 0L
+    batchOrd = 0L
     waveNo = 0
     if (useSketch)
       sketch.addOne(seedUrl, UrlRewrite.canonicalHost(seedUrl))
@@ -196,7 +208,7 @@ class CrawlEngine(
     metrics = io.table(snap, "metrics")
     fetched = io.table(snap, "fetched")
     seqCounter = snap.meta("seq_counter").toLong
-    ordCounter = snap.meta("ord_counter").toLong
+    batchOrd = snap.meta("batch_ord").toLong
     waveNo = snap.meta("wave").toInt
     snap.meta.get("bloom").foreach(b =>
       sketch = SeenFilter.fromBytes(java.util.Base64.getDecoder.decode(b)))
@@ -267,7 +279,9 @@ class CrawlEngine(
         frontierRows = admitted.count()
         val (frag1, retries) = processBatch(admitted, rule,
           knownNonEmpty = frontierRows > 0)
-        val (frag2, _) = processBatch(retries, rule) // retried once only
+        val (frag2, _) = // retried once only
+          if (lastBatchNoRetries) (emptyFrontier, emptyFrontier)
+          else processBatch(retries, rule)
         discovered = frag1.unionByName(frag2)
       case Some(k) =>
         // localCheckpoint, not persist: `rest` references `pending` on
@@ -282,7 +296,8 @@ class CrawlEngine(
           val (frag, retries) = processBatch(chunk.persist(), rule,
             knownNonEmpty = true)
           discovered = discovered.unionByName(frag)
-          pending = rest.unionByName(retries).localCheckpoint(true)
+          pending = (if (lastBatchNoRetries) rest
+            else rest.unionByName(retries)).localCheckpoint(true)
           pendingCount = pending.count()
         }
     }
@@ -314,6 +329,7 @@ class CrawlEngine(
    */
   private def processBatch(records: DataFrame, rule: RecipeRule,
                            knownNonEmpty: Boolean = false): (DataFrame, DataFrame) = {
+    lastBatchNoRetries = true
     if (!knownNonEmpty && records.limit(1).count() == 0)
       return (emptyFrontier, emptyFrontier)
 
@@ -329,10 +345,13 @@ class CrawlEngine(
     // ONE aggregation materializes the batch AND yields the per-partition
     // lineage rows (A4), the origin error count, and the redirect flag —
     // three former jobs folded into the cache-warming pass
+    val temporalCodesS = ErrorCode.Temporal.toSeq
     val batchStats = joined.groupBy(spark_partition_id().as("_pid"))
       .agg(count(lit(1)).as("_n"),
         sum(when(col("outcome") =!= ErrorCode.NONE, 1L).otherwise(0L)).as("_e"),
-        sum(when(col("outcome") === ErrorCode.REDIRECT, 1L).otherwise(0L)).as("_r"))
+        sum(when(col("outcome") === ErrorCode.REDIRECT, 1L).otherwise(0L)).as("_r"),
+        sum(when(col("outcome").isin(temporalCodesS: _*) && !col("retry"), 1L)
+          .otherwise(0L)).as("_t"))
       .collect()
     batchStats.foreach { r =>
       val prev = wavePartStats.getOrElse(r.getInt(0), (0L, 0L))
@@ -343,6 +362,9 @@ class CrawlEngine(
 
     val redirects = joined.filter(col("outcome") === ErrorCode.REDIRECT)
     val hasRedirects = batchStats.map(_.getLong(3)).sum > 0
+    // no origin-temporal failures and no chains => retries provably empty;
+    // the caller skips the retry sub-batch without another empty-check job
+    lastBatchNoRetries = batchStats.map(_.getLong(4)).sum == 0 && !hasRedirects
 
     // spidering sources: successful SPIDER-mode rows (spiderfetch.py:156-161)
     val nonRedirectCands = qualifyCandidates(
@@ -361,17 +383,12 @@ class CrawlEngine(
     val allCands = analysis.map(_.candidates).getOrElse(nonRedirectCands)
       .persist()
 
-    // ---- processed log: every record, in seq order, ONE global rank
-    // (the crawl-ordering parity surface)
-    val (procOrdered, nProc) = withOrderedIndex(
-      joined.select(col("seq"), lit(waveNo).as("wave"), col("url"),
-        col("mode"), col("retry"), col("outcome")),
-      Seq(col("seq")), "ord", ordCounter,
-      // feeds only end-of-crawl accumulators; lineage stays bounded
-      truncateLineage = false)
-    ordCounter += nProc
+    // ---- processed log (the crawl-ordering parity surface): recorded
+    // lazily under the (batch_ord, seq) total order; the dense global
+    // `ord` is ranked once at tables() — no per-batch ranking actions
     processed = processed.unionByName(
-      procOrdered.select("wave", "ord", "url", "mode", "retry"))
+      joined.select(lit(batchOrd).as("batch_ord"), col("seq"),
+        lit(waveNo).as("wave"), col("url"), col("mode"), col("retry")))
 
     // ---- fetch log: origin fetch of every record + each reached chain hop
     val originLog = joined.select(col("url"), col("mode"),
@@ -395,17 +412,17 @@ class CrawlEngine(
     // collision-safe final name (spiderfetch.py:163-165); redirected
     // fetches land under the chain's FINAL url, dup-aborted records don't
     fetched = fetched.unionByName(
-      procOrdered.filter(col("mode") === Mode.FETCH &&
+      joined.filter(col("mode") === Mode.FETCH &&
           col("outcome") =!= ErrorCode.REDIRECT)
-        .select(col("wave"), col("ord"), col("url")))
+        .select(lit(batchOrd).as("batch_ord"), col("seq"),
+          lit(waveNo).as("wave"), col("url")))
     analysis.foreach { a =>
       fetched = fetched.unionByName(
-        procOrdered.select(col("seq"), col("ord"))
-          .join(a.finals.filter(col("mode") === Mode.FETCH && !col("aborted"))
-            .select(col("seq"), col("final_url")), Seq("seq"))
-          .select(lit(waveNo).as("wave"), col("ord"),
-            col("final_url").as("url")))
+        a.finals.filter(col("mode") === Mode.FETCH && !col("aborted"))
+          .select(lit(batchOrd).as("batch_ord"), col("seq"),
+            lit(waveNo).as("wave"), col("final_url").as("url")))
     }
+    batchOrd += 1
 
     // ---- edges: every matched url, seen or not, self-loops excluded
     // (web.py:44-50)
@@ -544,7 +561,7 @@ class CrawlEngine(
         val meta = Map(
           "rule_idx" -> ruleIdx.toString, "depth" -> depth.toString,
           "wave" -> waveNo.toString, "seq_counter" -> seqCounter.toString,
-          "ord_counter" -> ordCounter.toString) ++
+          "batch_ord" -> batchOrd.toString) ++
           sketch.serialized.map(b => "bloom" ->
             java.util.Base64.getEncoder.encodeToString(b))
         val snap = io.commit(meta, Map(
@@ -613,16 +630,18 @@ final case class CrawlTables(
     edges: DataFrame, aliases: DataFrame, fetchLog: DataFrame,
     robotsBlocked: DataFrame, metrics: DataFrame, fetched: DataFrame)
 
-/** Raw fetched-file log row (names derived at table-build time). */
-final case class FetchedRaw(wave: Int, ord: Long, url: String)
+/** Raw fetched-file log row; global ord + collision-safe names derived
+  * at table-build time from the (batch_ord, seq) processing order. */
+final case class FetchedRaw(batch_ord: Long, seq: Long, wave: Int, url: String)
 
 /** Rewritten+canonicalized extraction candidate (engine-internal). */
 final case class CandidateRow(
     parent_seq: Long, parent_url: String, extract_idx: Long,
     url: String, canonicalUrl: String, host: String)
 
-/** Processed-order row — the crawl-ordering parity surface. */
-final case class ProcessedRow(wave: Int, ord: Long, url: String, mode: Int,
-                              retry: Boolean)
+/** Raw processed-log row — the crawl-ordering parity surface; the dense
+  * global `ord` is ranked from (batch_ord, seq) at table-build time. */
+final case class ProcessedRow(batch_ord: Long, seq: Long, wave: Int,
+                              url: String, mode: Int, retry: Boolean)
 
 final case class RobotsBlockedRow(wave: Int, url: String, seq: Long)
