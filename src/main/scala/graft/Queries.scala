@@ -506,8 +506,14 @@ object Queries {
     // plant exact-duplicate vectors so the detector has positives
     val planted = emb.filter(col("vec_id") % 100 === 0)
       .withColumn("vec_id", col("vec_id") + 10000000L)
+    // LSH bits scale ~log2(n) so expected bucket size stays O(1) as the
+    // table grows (round-1 verdict: fixed bits=10 leaves 10^7-row buckets
+    // at the 10^10 design point); identical vectors share every bucket at
+    // any width, so oracle completeness is unaffected
+    val bits = math.max(10,
+      (math.log(emb.count().toDouble + 1) / math.log(2)).ceil.toInt + 1)
     Dedup.embeddingNearDups(s, emb.unionByName(planted), "vec_id",
-      "embedding", threshold = 0.999, bits = 10)
+      "embedding", threshold = 0.999, bits = bits)
       .orderBy("id_a", "id_b")
   }
 
@@ -643,6 +649,39 @@ object Queries {
       |  ('http://testcases.example/page', 2, 'img', '', 'http://img.example/i.jpg', 60, 'http://img.example/i.jpg')
       |) AS t(doc_id, extract_idx, kind, text, media_ref, "offset", url)
       |ORDER BY extract_idx""".stripMargin
+
+  /** §2.10 on the driver surface: the windowed-aggregation STREAMING twin
+    * of q8, run as a real Structured Streaming query (file source →
+    * watermarked window agg → memory sink, Trigger.AvailableNow). In
+    * complete mode the final table equals the batch aggregation, so the
+    * oracle is exactly q8's SQL. */
+  def q23StreamWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(p(dir, "events")).schema
+    // the file stream source wants a DIRECTORY; the testdata table is a
+    // single parquet file — expose it through a temp dir symlink
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-in-")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(p(dir, "events")))
+    // watermarks need TIMESTAMP (LTZ); parquet carries NTZ — session tz is
+    // UTC so the instants are identical; cast back for oracle-schema parity
+    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = graft.streaming.Streaming.windowedEventCounts(stream)
+      .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
+    val name = "q23_stream_window_result"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt-").toString
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("w_start", "event_type")
+  }
 
   def q20MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Multimodal

@@ -57,7 +57,9 @@ object SparkEntry {
     "q19_ngram_jaccard" -> (Queries.q19NgramJaccard _),
     "q20_multimodal_features" -> (Queries.q20MultimodalFeatures _),
     "q21_frontier_dequeue" -> (Queries.q21FrontierDequeue _),
-    "q22_cuckoo_sketch" -> (Queries.q22CuckooSketch _))
+    "q22_cuckoo_sketch" -> (Queries.q22CuckooSketch _),
+    // §2.10 streaming twin (real Structured Streaming run; oracle = q8's)
+    "q23_stream_window" -> (Queries.q23StreamWindow _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries.
@@ -72,6 +74,7 @@ object SparkEntry {
     "q18_embed_near_dups" -> Queries.q18Sql,
     "q19_ngram_jaccard" -> Queries.q19Sql,
     "q22_cuckoo_sketch" -> Queries.q22Sql,
+    "q23_stream_window" -> Queries.q8Sql, // streaming complete == batch agg
     "q1_agg" -> Queries.q1Sql,
     "q2_join_revenue" -> Queries.q2Sql,
     "q3_topk_customers" -> Queries.q3Sql,
