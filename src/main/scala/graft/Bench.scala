@@ -220,12 +220,24 @@ object Bench {
     // JIT/heap/block-manager state and swing up to 6x — fresh processes
     // give every level the identical (cold-start + in-level warmup) deal,
     // mirroring the real protocol's separate cluster runs
+    // classpath for the forked probe: java.class.path (complete under any
+    // forked launcher, incl. sbt's bg-jobs per-jar copies) UNIONED with
+    // code-source-derived paths (covers in-process runners where the
+    // property only names a launcher jar). Extra entries are harmless.
+    def codeDir(c: Class[_]): String =
+      new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
+        .getAbsolutePath
+    val forkCp = (System.getProperty("java.class.path")
+      .split(java.io.File.pathSeparator).toSeq ++ Seq(
+        codeDir(getClass), // graft classes
+        new java.io.File(codeDir(classOf[SparkSession])).getParent + "/*",
+        codeDir(classOf[scala.Product]))) // scala-library
+      .filter(_.nonEmpty).distinct.mkString(java.io.File.pathSeparator)
     def levelThroughput(cores: Int): (Double, Double) = {
       val javaBin = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java")
         .getAbsolutePath
-      val pb = new ProcessBuilder(javaBin, "-Xmx48g", "-cp",
-        System.getProperty("java.class.path"),
+      val pb = new ProcessBuilder(javaBin, "-Xmx48g", "-cp", forkCp,
         "graft.ScaleProbe", scaleN.toString, cores.toString)
       pb.redirectErrorStream(true)
       val p = pb.start()
@@ -241,11 +253,13 @@ object Bench {
         s"scale probe at $cores cores produced no PROBE line:\n" +
           out.takeRight(20).mkString("\n")))
     }
+    // three fresh-JVM passes per level, keep the max: this host drops into
+    // an hour-scale slow mode (~6x) that can swallow a whole process; the
+    // max over independent processes is the machine's demonstrated
+    // steady-state capability at that core count
     val levels = Seq(2, 8, 32)
-    val pass1 = levels.map(c => c -> levelThroughput(c)).toMap
-    val pass2 = levels.map(c => c -> levelThroughput(c)).toMap
-    def best(c: Int) = (math.max(pass1(c)._1, pass2(c)._1),
-      math.max(pass1(c)._2, pass2(c)._2))
+    val passes = (1 to 3).map(_ => levels.map(c => c -> levelThroughput(c)).toMap)
+    def best(c: Int) = (passes.map(_(c)._1).max, passes.map(_(c)._2).max)
     val (thr2, _) = best(2)
     val (thr8, roof8) = best(8)
     val (thr32, roof32) = best(32)
