@@ -81,10 +81,13 @@ object Queries {
   def crawlIndegree(s: SparkSession, dir: String): DataFrame =
     GraphQueries.popular(fixtureCrawl(s).edges, 10)
 
-  /** Per-wave totals (A4): oracle-comparable slice of the metrics table. */
+  /** Per-wave totals (A4): oracle-comparable slice of the metrics table,
+    * incl. completed-fetch bytes (the reference's download byte tracking,
+    * fetch.py:443-453, summed per wave). */
   def crawlMetrics(s: SparkSession, dir: String): DataFrame =
     fixtureCrawl(s).metrics.filter(col("partitionId") === -1)
-      .select("wave", "ruleIdx", "frontierRows", "errorRows", "discoveredRows")
+      .select("wave", "ruleIdx", "frontierRows", "errorRows",
+        "discoveredRows", "bytesFetched")
       .orderBy("wave")
 
   /** Per-wave per-PARTITION lineage rows (north rule): physical partition
@@ -454,18 +457,22 @@ object Queries {
       "doc_id", "text", maxDistance = 6, blocks = 8)
       .orderBy("id_a", "id_b")
 
+  /** Auto-scaled knobs (round-2 verdict #4): cells = max(16, ceil(√n)),
+    * nprobe = min(cells, ceil(√cells)+4) — computed inside ivfTopK and
+    * REPLAYED by the oracle's expression LIMITs below. */
   def q17IvfAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(p(dir, "embeddings"))
     import s.implicits._
     val q = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
-    Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20,
-      cells = 16, nprobe = 6, iters = 2)
+    Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20, iters = 2)
   }
 
   /** DuckDB rebuild of the IVF index — same deterministic construction:
-    * seeds = first 16 by vec_id, 2 Lloyd passes with half-up 6-dp rounded
-    * centroids (empty cells keep the previous centroid), probe the 6 cells
-    * nearest the query, exact cosine within. */
+    * seeds = first max(16, ceil(√n)) by vec_id, 2 Lloyd passes with
+    * half-up 6-dp rounded centroids (empty cells keep the previous
+    * centroid), probe the min(cells, ceil(√cells)+4) cells nearest the
+    * query, exact cosine within. The knob formulas run as expression
+    * LIMITs so the oracle tracks the engine's ~√n scaling at any SF. */
   val q17Sql: String = {
     def assign(centTable: String, name: String): String =
       s"""$name AS (
@@ -484,10 +491,14 @@ object Queries {
          |  SELECT p.cell, coalesce(m.c, p.c) AS c
          |  FROM $prevCents p LEFT JOIN ${name}_m m USING (cell))""".stripMargin
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |knobs AS (
+       |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS INT)) AS cells
+       |  FROM emb),
        |q AS (SELECT v FROM emb WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-       |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)),
+       |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id
+       |        LIMIT (SELECT cells FROM knobs))),
        |${assign("c0", "a0")},
        |${mean("a0", "c0", "c1")},
        |${assign("c1", "a1")},
@@ -495,7 +506,9 @@ object Queries {
        |${assign("c2", "a2")},
        |probe AS (
        |  SELECT c.cell FROM c2 c, q
-       |  ORDER BY list_inner_product(q.v, c.c) DESC, c.cell ASC LIMIT 6)
+       |  ORDER BY list_inner_product(q.v, c.c) DESC, c.cell ASC
+       |  LIMIT (SELECT least(cells, CAST(ceil(sqrt(cells)) AS INT) + 4)
+       |         FROM knobs))
        |SELECT a.vec_id, round(list_cosine_similarity(a.v, q.v), 6) AS cosine
        |FROM a2 a JOIN probe USING (cell), q
        |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
@@ -655,25 +668,48 @@ object Queries {
     * watermarked window agg → memory sink, Trigger.AvailableNow). In
     * complete mode the final table equals the batch aggregation, so the
     * oracle is exactly q8's SQL. */
+  /** Temp dirs for the streaming queries: registered for JVM-exit cleanup
+    * (repeated driver/bench invocations must not accumulate them —
+    * round-2 advice #5). */
+  private def tempDirCleaned(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d
+  }
+
+  /** Stage a single-file parquet table into a directory (file stream
+    * sources want directories): symlink, or copy on filesystems that
+    * refuse symlinks (round-2 advice #5). */
+  private def stagedStreamDir(table: String): String = {
+    val streamDir = tempDirCleaned("graft-stream-in-")
+    val target = streamDir.resolve("table.parquet")
+    val src = java.nio.file.Paths.get(table)
+    try java.nio.file.Files.createSymbolicLink(target, src)
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(src, target)
+    }
+    streamDir.toString
+  }
+
   def q23StreamWindow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(p(dir, "events")).schema
-    // the file stream source wants a DIRECTORY; the testdata table is a
-    // single parquet file — expose it through a temp dir symlink
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-in-")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(p(dir, "events")))
+    val streamDir = stagedStreamDir(p(dir, "events"))
     // watermarks need TIMESTAMP (LTZ); parquet carries NTZ — session tz is
     // UTC so the instants are identical; cast back for oracle-schema parity
-    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+    val stream = s.readStream.schema(schema).parquet(streamDir)
       .withColumn("ts", col("ts").cast("timestamp"))
     val agg = graft.streaming.Streaming.windowedEventCounts(stream)
       .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
     val name = "q23_stream_window_result"
     s.streams.active.filter(_.name == name).foreach(_.stop())
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-ckpt-").toString
+    val ckpt = tempDirCleaned("graft-stream-ckpt-").toString
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
@@ -682,6 +718,57 @@ object Queries {
     q.awaitTermination()
     s.table(name).orderBy("w_start", "event_type")
   }
+
+  /** §2.10 on the driver surface, part 2 (round-2 verdict #6): the
+    * STATEFUL streaming operator — first-seen URL dedup via
+    * mapGroupsWithState, the incremental twin of the frontier's seen-set
+    * anti-join (J1; reference analogue: the seen set of `web.py:27-28`
+    * maintained across waves). Runs as a real Structured Streaming query
+    * (file source → keyed state → memory sink, update mode,
+    * Trigger.AvailableNow); the oracle is the batch first-wins window
+    * over the same derived URL stream. */
+  def q24StreamFirstSeen(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Streaming
+    import s.implicits._
+    val schema = s.read.parquet(p(dir, "events")).schema
+    val streamDir = stagedStreamDir(p(dir, "events"))
+    // derive a URL-event stream with heavy key duplication (many events
+    // share (user, event_type)): the dedup has real work at any SF
+    val urls = s.readStream.schema(schema).parquet(streamDir)
+      .select(
+        concat(lit("http://host"), pmod(col("user_id"), lit(50)),
+          lit(".test/"), col("event_type")).as("url"),
+        concat(lit("host"), pmod(col("user_id"), lit(50)), lit(".test"))
+          .as("host"),
+        col("event_id").as("seq"))
+      .as[Streaming.UrlEvent]
+    val name = "q24_stream_first_seen_result"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val ckpt = tempDirCleaned("graft-stream-ckpt-").toString
+    val q = Streaming.firstSeenUrls(urls).toDF
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("url")
+  }
+
+  /** Batch twin as the DuckDB oracle: first occurrence (min seq) per url.
+    * Valid because AvailableNow over one staged file is one micro-batch,
+    * and within a batch firstSeenUrls keeps the min-seq row per key. */
+  val q24Sql: String =
+    """SELECT url, host, firstSeq FROM (
+      |  SELECT url, host, seq AS firstSeq,
+      |    row_number() OVER (PARTITION BY url ORDER BY seq) AS rn
+      |  FROM (
+      |    SELECT 'http://host' || (user_id % 50) || '.test/' || event_type AS url,
+      |           'host' || (user_id % 50) || '.test' AS host,
+      |           event_id AS seq
+      |    FROM events))
+      |WHERE rn = 1 ORDER BY url""".stripMargin
 
   def q20MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Multimodal

@@ -58,14 +58,16 @@ object SparkEntry {
     "q20_multimodal_features" -> (Queries.q20MultimodalFeatures _),
     "q21_frontier_dequeue" -> (Queries.q21FrontierDequeue _),
     "q22_cuckoo_sketch" -> (Queries.q22CuckooSketch _),
-    // §2.10 streaming twin (real Structured Streaming run; oracle = q8's)
-    "q23_stream_window" -> (Queries.q23StreamWindow _))
+    // §2.10 streaming twins (real Structured Streaming runs)
+    "q23_stream_window" -> (Queries.q23StreamWindow _),
+    "q24_stream_first_seen" -> (Queries.q24StreamFirstSeen _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
-    * from the sequential RefCrawler) for the crawl and web queries.
-    * Deliberately un-oracled (rows-only): q15 (JVM 64-bit hash kernel not
-    * ANSI-SQL-expressible), q20 (binary media decode), crawl_lineage
-    * (physical partition layout is engine-specific). */
+    * from the sequential RefCrawler) for the crawl and web queries, and
+    * OracleGen.dataOracles for q15/q20 (sequential all-pairs / synthesis
+    * replay over the sf-dir tables). The single deliberately un-oracled
+    * row is crawl_lineage: its per-PARTITION layout is engine-specific
+    * (the per-wave TOTALS are oracled via crawl_metrics). */
   def oracleSql: Map[String, String] = Map(
     "extract_testcases" -> Queries.extractTestcasesSql,
     "url_canon" -> Queries.urlCanonSql,
@@ -75,6 +77,7 @@ object SparkEntry {
     "q19_ngram_jaccard" -> Queries.q19Sql,
     "q22_cuckoo_sketch" -> Queries.q22Sql,
     "q23_stream_window" -> Queries.q8Sql, // streaming complete == batch agg
+    "q24_stream_first_seen" -> Queries.q24Sql,
     "q1_agg" -> Queries.q1Sql,
     "q2_join_revenue" -> Queries.q2Sql,
     "q3_topk_customers" -> Queries.q3Sql,

@@ -36,7 +36,9 @@ object Verify {
     } + "\""
     // static oracles + runtime VALUES oracles rendered from the sequential
     // RefCrawler (the independent in-repo mirror of the reference crawl)
-    val oracles = SparkEntry.oracleSql ++ OracleGen.all
+    // + the sf-dir-dependent sequential oracles (q15/q20)
+    val oracles = SparkEntry.oracleSql ++ OracleGen.all ++
+      OracleGen.dataOracles(spark, sfDir)
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

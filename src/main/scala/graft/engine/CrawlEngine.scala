@@ -30,6 +30,16 @@ import org.apache.spark.sql.expressions.Window
  * analytically by RedirectResolver, so EVERY wave runs as one distributed
  * batch and jobs scale with chain length, not redirect count.
  *
+ * Driver-action budget (round-2 verdict #1): a batch runs a FIXED number
+ * of Spark actions regardless of corpus — (1) one cache-warming aggregation
+ * that yields batch size, per-partition lineage, error/redirect/retry
+ * counts and fetched bytes in a single pass; (2) the ordering rank's
+ * materialize + one count pass (which also folds in the discovered-count);
+ * (3) one sketch-build aggregation when the bloom bank is enabled. Empty
+ * checks, `discovered.count()`, and the frontier pre-count are all derived
+ * from (1)-(2) instead of separate jobs; deep crawls are wave-latency
+ * bound, so this is the per-wave critical path.
+ *
  * "Fetching" in-sandbox is the lookup join against the span-table corpus
  * (the corpus IS the web); on a real deploy the join body is replaced by a
  * host-partitioned mapPartitions HTTP client (SURVEY §2.1 S1).
@@ -57,6 +67,8 @@ class CrawlEngine(
     c.select("doc_id", "spans", "redirect_to", "fail_attempts")
   }
 
+  private val tries: Int = config.tries
+
   // ---- mutable driver state (persisted in snapshots) ----
   private var seen: DataFrame = _
   private var processed: DataFrame = _
@@ -69,39 +81,84 @@ class CrawlEngine(
   private var fetched: DataFrame = _  // raw fetched-file log (batch_ord, seq, wave, url)
   private var seqCounter: Long = 0L
   private var batchOrd: Long = 0L // sequential batch counter (ord prefix key)
+  private var processedTotal: Long = 0L // rows in `processed` (exact, free)
   private var waveNo: Int = 0
   private var waveErrorCount: Long = 0L
-  // per-partition (rows, errors) of the wave's fetch batches (A4 lineage)
-  private var wavePartStats: Map[Int, (Long, Long)] = Map.empty
+  private var waveBytes: Long = 0L
+  // per-partition (rows, errors, bytes) of the wave's fetch batches (A4)
+  private var wavePartStats: Map[Int, (Long, Long, Long)] = Map.empty
   private var lastWaveDiscovered: Long = 1L // seed queue is non-empty
-  private var lastBatchNoRetries: Boolean = false
+  // true while every append to `seen` this wave came from the driver-local
+  // rank path (the union tree is then all LocalRelation leaves — cheap to
+  // analyze, nothing to recompute, so the per-wave truncation can wait
+  // for the periodic compaction)
+  private var waveAppendLocal: Boolean = true
   private var sketch: SeenFilter = SeenFilter.empty
 
+  // Cached DataFrames of in-flight waves (round-2 advice: persists without
+  // a matching unpersist accumulate dead blocks over a deep crawl). Every
+  // persist on the wave path registers here; pins release once all lazy
+  // consumers are materialized — per wave in checkpointed mode (the commit
+  // writes every table), every CompactWaves waves + at tables() in
+  // in-memory mode (the localCheckpoints there materialize the unions).
+  private val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def pin(df: DataFrame): DataFrame = { pinned += df; df }
+  private def releasePins(): Unit = {
+    pinned.foreach(_.unpersist(false)); pinned.clear()
+  }
+  private val CompactWaves = 8
+
   private def tables: CrawlTables = {
-    // materialize once: downstream consumers collect these repeatedly
-    if (checkpoint.isEmpty) {
-      processed = processed.localCheckpoint(true)
-      dumped = dumped.localCheckpoint(true)
-      aliases = aliases.localCheckpoint(true)
-      fetchLog = fetchLog.localCheckpoint(true)
-      robotsBlocked = robotsBlocked.localCheckpoint(true)
-      metrics = metrics.localCheckpoint(true)
-      edges = edges.localCheckpoint(true)
-      fetched = fetched.localCheckpoint(true)
+    // LAZY per-table materialization: each base table localCheckpoints on
+    // first ACCESS (downstream consumers collect repeatedly), so a caller
+    // that only reads `seen` — the bench's crawl path — pays none of the
+    // other tables' checkpoint actions. The wave caches (pins) release
+    // once every base table has materialized; until then they back the
+    // un-materialized unions.
+    val inMem = checkpoint.isEmpty
+    var remaining = 7
+    def mat(get: () => DataFrame, set: DataFrame => Unit): () => DataFrame =
+      () => this.synchronized {
+        val d = if (inMem) {
+          val m = get().localCheckpoint(true)
+          set(m)
+          remaining -= 1
+          if (remaining == 0) releasePins()
+          m
+        } else get()
+        d
+      }
+    val processedM = mat(() => processed, processed = _)
+    val dumpedM = mat(() => dumped, dumped = _)
+    val aliasesM = mat(() => aliases, aliases = _)
+    val fetchLogM = mat(() => fetchLog, fetchLog = _)
+    val robotsM = mat(() => robotsBlocked, robotsBlocked = _)
+    val metricsM = mat(() => metrics, metrics = _)
+    val edgesM = mat(() => edges, edges = _)
+    // fetched feeds only the derived fetchedNamed below (not counted in
+    // `remaining`: fetchedNamed always materializes processed first)
+    var fetchedDone = false
+    def fetchedM(): DataFrame = this.synchronized {
+      if (inMem && !fetchedDone) { fetched = fetched.localCheckpoint(true); fetchedDone = true }
+      fetched
     }
     // the global processing order `ord` is assigned ONCE here — the crawl
     // accumulates raw (batch_ord, seq) keys instead of ranking per batch
     // (two Spark actions per batch saved; the key pair is already the
-    // total processing order: batches are sequential, seq orders within)
-    val (procRanked, _) = withOrderedIndex(processed,
-      Seq(col("batch_ord"), col("seq")), "ord", 0L, truncateLineage = false)
-    val processedTable = procRanked
+    // total processing order: batches are sequential, seq orders within).
+    // Small crawls rank via the driver-local path (processedTotal is
+    // tracked exactly); big ones via the two-phase rank over the already-
+    // checkpointed parent.
+    lazy val procRanked = withOrderedIndex(processedM(),
+      Seq("batch_ord", "seq"), "ord", 0L,
+      small = processedTotal <= SmallRankRows).df
+    def processedTable() = procRanked
       .select("wave", "ord", "url", "mode", "retry")
     // collision-safe filenames (ioutils.safe_filename + F8): n-th use of a
     // base name (in processing order) gets suffix ".n"
-    val fetchedNamed = {
+    def fetchedNamed() = {
       import spark.implicits._
-      val named = fetched
+      val named = fetchedM()
         .join(procRanked.select(col("batch_ord"), col("seq"), col("ord")),
           Seq("batch_ord", "seq"))
         .select(col("wave"), col("ord"), col("url"))
@@ -116,9 +173,10 @@ class CrawlEngine(
             .otherwise(concat(col("base"), lit("."), col("_n"))))
         .select("wave", "ord", "url", "filename")
     }
-    CrawlTables(seen, processedTable, dumped,
-      edges.groupBy("src", "dst").agg(min("wave").as("wave")),
-      aliases, fetchLog, robotsBlocked, metrics, fetchedNamed)
+    val seenT = seen // truncated per wave already
+    new CrawlTables(seenT, processedTable(),
+      dumpedM(), edgesM().groupBy("src", "dst").agg(min("wave").as("wave")),
+      aliasesM(), fetchLogM(), robotsM(), metricsM(), fetchedNamed())
   }
 
   // ---------------------------------------------------------------- utils
@@ -129,36 +187,97 @@ class CrawlEngine(
     FrontierRecord(url, UrlRewrite.canonicalUrl(url), UrlRewrite.canonicalHost(url),
       mode, wave, seq, retry = false, attempt = 0)
 
+  /** Batch threshold below which the ordering rank collects and sorts on
+    * the DRIVER (one collect job, no shuffle, no checkpoint job, and the
+    * result is a LocalRelation the next wave joins for free) — a small
+    * wave is action-latency bound, and the bound keeps the collected
+    * events comfortably driver-sized (rows × fanout). */
+  private val SmallRankRows = 1024L
+
+  /** Ranked output: the frame with the rank column (MATERIALIZED — safe to
+    * feed the next wave), row count, countPred count, and — on the
+    * driver-local path — the collected pre-rank rows (callers reuse them
+    * to skip follow-up jobs, e.g. driver-side sketch inserts). */
+  private final case class RankedOut(df: DataFrame, total: Long, predN: Long,
+                                     localRows: Option[Array[org.apache.spark.sql.Row]])
+
   /**
    * Global deterministic dense rank over UNIQUE sort keys (SURVEY §4.3.1).
-   * Two-phase partition-offset rank, pure DataFrame ops — no RDD
-   * zipWithIndex hop out of Tungsten (round-1 verdict #6): range-shuffle
-   * by the key, sort within partitions, then exploit
-   * monotonically_increasing_id's documented layout
-   * (partitionId << 33 | localRowNumber) for the within-partition
-   * position; per-partition offsets come from one tiny count-per-partition
-   * collect. One shuffle + one small job; no single-partition window.
-   * Returns (persisted df with the rank column, row count).
+   *
+   * PRECONDITION: the sort key tuple is unique per row — both call sites
+   * guarantee it ((batch_ord, seq): seq unique per batch; events
+   * (pos, phase, idx): extract_idx unique per parent, hop unique per
+   * chain, phases disjoint). Duplicate keys would still rank validly but
+   * nondeterministically (ordering-parity poison, no error) — keep it
+   * unique. The (partitionId << 33 | localRow) layout of
+   * monotonically_increasing_id is pinned by an sbt test so a Spark
+   * upgrade that changes it fails fast (round-2 advice #4).
+   *
+   * Two paths:
+   *  - big (the 100-TB shape): two-phase partition-offset rank, pure
+   *    DataFrame ops — no RDD zipWithIndex hop out of Tungsten (round-1
+   *    verdict #6): range-shuffle by the key, sort within partitions,
+   *    then per-partition offsets from one count-per-partition pass over
+   *    the materialized result; that pass also evaluates `countPred`.
+   *  - small (`small = true`): ONE collect job + a driver sort into a
+   *    LocalRelation — deep fixture-sized waves are driver-action-latency
+   *    bound, and this path has no shuffle, no sampling job, no
+   *    checkpoint job, and hands back the rows for further driver-side
+   *    folds. Both paths produce identical ranks (unique keys).
    */
-  private def withOrderedIndex(df: DataFrame, sortCols: Seq[Column],
+  private def withOrderedIndex(df: DataFrame, sortCols: Seq[String],
                                name: String, offset: Long,
-                               truncateLineage: Boolean = true): (DataFrame, Long) = {
+                               truncateLineage: Boolean = true,
+                               countPred: Option[(Column, org.apache.spark.sql.Row => Boolean)] = None,
+                               small: Boolean = false): RankedOut = {
+    if (small) {
+      import scala.jdk.CollectionConverters._
+      val rows = df.collect() // the one job
+      val schema = df.schema
+      val keyIdx = sortCols.map(schema.fieldIndex)
+      val ord = new Ordering[org.apache.spark.sql.Row] {
+        def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+          var i = 0
+          while (i < keyIdx.length) {
+            val c = a.get(keyIdx(i)).asInstanceOf[Comparable[Any]]
+              .compareTo(b.get(keyIdx(i)))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+      }
+      val sorted = rows.sorted(ord)
+      val predN = countPred.map(p => sorted.count(p._2).toLong).getOrElse(0L)
+      val outRows: Seq[org.apache.spark.sql.Row] = sorted.zipWithIndex.map {
+        case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (offset + i))
+      }.toSeq
+      val outSchema = schema.add(name, org.apache.spark.sql.types.LongType,
+        nullable = false)
+      val out = spark.createDataFrame(outRows.asJava, outSchema)
+      return RankedOut(out, sorted.length.toLong, predN, Some(sorted))
+    }
+    val pred = countPred.map(_._1).getOrElse(lit(false))
+    val keys = sortCols.map(col)
     // localCheckpoint when the ranked output feeds the NEXT wave's plans —
     // without truncation the logical plan grows with every wave and
     // analysis/explain goes quadratic in crawl depth; plain persist when
     // the output only lands in end-of-crawl accumulators (one less job).
     // No explicit partition count: AQE coalesces the range shuffle for
     // tiny waves (task-latency dominated) and widens it for big ones.
-    val sorted = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+    val sorted = df.repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
       .withColumn("_g_mid", monotonically_increasing_id())
     val mid = if (truncateLineage) sorted.localCheckpoint(true)
-      else sorted.persist()
-    val parts = mid.groupBy(shiftright(col("_g_mid"), 33).as("_g_pid")).count()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      else pin(sorted.persist())
+    val parts = mid.groupBy(shiftright(col("_g_mid"), 33).as("_g_pid"))
+      .agg(count(lit(1)).as("_n"), sum(when(pred, 1L).otherwise(0L)).as("_p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val total = parts.map(_._2).sum
+    val predN = parts.map(_._3).sum
     var acc = 0L
-    val offRows = parts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }
+    val offRows = parts.map { case (pid, n, _) => val o = acc; acc += n; (pid, o) }
     import spark.implicits._
     val offDf = broadcast(offRows.toSeq.toDF("_g_pid", "_g_off"))
     val out = mid.withColumn("_g_pid", shiftright(col("_g_mid"), 33))
@@ -166,7 +285,7 @@ class CrawlEngine(
       .withColumn(name, col("_g_off") +
         col("_g_mid").bitwiseAND(lit((1L << 33) - 1)) + offset)
       .drop("_g_pid", "_g_off", "_g_mid")
-    (out, total)
+    RankedOut(out, total, predN, None)
   }
 
   private def maskCol(pattern: Option[String]): Column =
@@ -186,6 +305,7 @@ class CrawlEngine(
     fetched = spark.emptyDataset[FetchedRaw].toDF
     seqCounter = 1L
     batchOrd = 0L
+    processedTotal = 0L
     waveNo = 0
     if (useSketch)
       sketch.addOne(seedUrl, UrlRewrite.canonicalHost(seedUrl))
@@ -209,6 +329,10 @@ class CrawlEngine(
     fetched = io.table(snap, "fetched")
     seqCounter = snap.meta("seq_counter").toLong
     batchOrd = snap.meta("batch_ord").toLong
+    // absent in old snapshots: Long.MaxValue keeps the (always-correct)
+    // big-path rank
+    processedTotal = snap.meta.get("processed_rows").map(_.toLong)
+      .getOrElse(Long.MaxValue)
     waveNo = snap.meta("wave").toInt
     snap.meta.get("bloom").foreach(b =>
       sketch = SeenFilter.fromBytes(java.util.Base64.getDecoder.decode(b)))
@@ -217,7 +341,14 @@ class CrawlEngine(
     crawlLoop(ruleIdx, depth, io.table(snap, "queue"), io.table(snap, "outer_queue"))
   }
 
-  // main loop (spiderfetch.py:209-231)
+  // main loop (spiderfetch.py:209-231). The reference's `while queue`
+  // guard tests the PRE-split queue — a wave still runs (and is counted)
+  // when the depth-0 split leaves the fetch half empty. Queue emptiness is
+  // NOT pre-checked with a limit(1).count job on the steady path: after a
+  // wave, `lastWaveDiscovered` answers it for free; only the rare
+  // unknown-emptiness cases (rule entry / resume) let processWave detect
+  // it from its first aggregation (no wave recorded), or — when a split
+  // would destroy the evidence — pay a one-time probe job.
   private def crawlLoop(startRule: Int, startDepth: Int,
                         startQueue: DataFrame, startOuter: DataFrame): CrawlTables = {
     var queue = startQueue
@@ -229,18 +360,31 @@ class CrawlEngine(
       val rule = rules(ruleIdx)
       if (!resuming) { queue = outer; outer = emptyFrontier; depth = rule.depth }
       resuming = false
-      var more = queue.limit(1).count() > 0
+      // is the CURRENT queue known to be non-empty? false at rule entry
+      // (outer queue contents unknown) and at resume
+      var known = false
+      var more = true
       while (more) {
+        var mustRunWave = known
         if (depth > 0) depth -= 1
         else {
+          // pre-split emptiness decides whether a wave runs; probe only
+          // when unknown (rule entry with a depth-0 rule)
+          if (!known) mustRunWave = queue.limit(1).count() > 0
           val (fq, sq) = splitQueue(queue, ruleIdx == rules.length - 1)
           queue = fq; outer = sq
         }
-        queue = processWave(queue, rule, ruleIdx)
-        commitWave(ruleIdx, depth, queue, outer)
-        if (stopAfterWaves.exists(waveNo >= _)) return tables
-        // processWave already counted its discoveries — no extra job
-        more = lastWaveDiscovered > 0
+        processWave(queue, rule, ruleIdx, mustRunWave) match {
+          case Some(next) =>
+            queue = next
+            commitWave(ruleIdx, depth, queue, outer)
+            if (stopAfterWaves.exists(waveNo >= _)) return tables
+            // processWave already counted its discoveries — no extra job
+            more = lastWaveDiscovered > 0
+            known = more
+          case None => // queue was empty: no wave ran, rule is done
+            more = false
+        }
       }
       ruleIdx += 1
     }
@@ -262,64 +406,98 @@ class CrawlEngine(
 
   // ------------------------------------------------------------ wave body
 
-  private def processWave(queue: DataFrame, rule: RecipeRule, ruleIdx: Int): DataFrame = {
+  /** One batch's outputs: the next-wave fragment, this wave's retry
+    * records, and the counts the caller needs (all derived from jobs the
+    * batch runs anyway — no follow-up count actions). */
+  private final case class BatchOut(
+      discovered: DataFrame, retries: DataFrame,
+      rows: Long, discoveredN: Long, retryN: Long)
+  private def emptyBatch =
+    BatchOut(emptyFrontier, emptyFrontier, 0L, 0L, 0L)
+
+  /** Runs one wave; returns the next queue, or None when no wave ran —
+    * the reference's `while queue` guard, detected from the batch
+    * aggregation instead of a pre-count job. `mustRunWave` = the caller
+    * KNOWS the reference would run this wave (pre-split queue non-empty),
+    * so an empty post-split batch still counts as a (zero-row) wave. */
+  private def processWave(queue: DataFrame, rule: RecipeRule,
+                          ruleIdx: Int, mustRunWave: Boolean): Option[DataFrame] = {
     waveNo += 1
     waveErrorCount = 0L
+    waveBytes = 0L
+    waveAppendLocal = true
     wavePartStats = Map.empty
     val (admitted0, blocked) = Scheduler.robotsFilter(spark, queue, config.robots)
-    if (config.robots.nonEmpty && blocked.count() > 0)
-      robotsBlocked = robotsBlocked.unionByName(
-        blocked.select(lit(waveNo).as("wave"), col("url"), col("seq")))
+    // robots-empty crawls (the parity config) pay no admission job at all;
+    // with robots on, the blocked count also disambiguates "queue empty"
+    // from "queue fully blocked" (the latter still counts as a wave,
+    // matching the reference's while-queue loop)
+    val blockedN =
+      if (config.robots.isEmpty) 0L
+      else {
+        val n = blocked.count()
+        if (n > 0)
+          robotsBlocked = robotsBlocked.unionByName(
+            blocked.select(lit(waveNo).as("wave"), col("url"), col("seq")))
+        n
+      }
 
     var discovered = emptyFrontier
     var frontierRows = 0L
+    var waveDiscovered = 0L
     config.perHostBudget match {
       case None =>
-        val admitted = admitted0.persist()
-        frontierRows = admitted.count()
-        val (frag1, retries) = processBatch(admitted, rule,
-          knownNonEmpty = frontierRows > 0)
-        val (frag2, _) = // retried once only
-          if (lastBatchNoRetries) (emptyFrontier, emptyFrontier)
-          else processBatch(retries, rule)
-        discovered = frag1.unionByName(frag2)
+        val b1 = processBatch(admitted0, rule)
+        if (b1.rows == 0 && blockedN == 0 && !mustRunWave) {
+          waveNo -= 1 // nothing was recorded: the wave never happened
+          return None
+        }
+        frontierRows = b1.rows
+        // retry count is exact (from the batch aggregation), so an empty
+        // retry sub-batch is skipped without any probe job
+        val b2 = if (b1.retryN == 0) emptyBatch else processBatch(b1.retries, rule)
+        discovered = b1.discovered.unionByName(b2.discovered)
+        waveDiscovered = b1.discoveredN + b2.discoveredN
       case Some(k) =>
         // localCheckpoint, not persist: `rest` references `pending` on
         // both join sides, so without truncation the logical plan doubles
         // every chunk iteration (analysis goes exponential in chunks)
         var pending = admitted0.localCheckpoint(true)
         var pendingCount = pending.count()
+        if (pendingCount == 0 && blockedN == 0 && !mustRunWave) {
+          waveNo -= 1
+          return None
+        }
         frontierRows = pendingCount
         while (pendingCount > 0) {
-          val (chunk, rest) = Scheduler.dequeueChunk(pending, k)
+          val (chunk, rest) = Scheduler.dequeueChunk(pending, k, register = pin)
           // top-k of a non-empty pending set is non-empty
-          val (frag, retries) = processBatch(chunk.persist(), rule,
-            knownNonEmpty = true)
-          discovered = discovered.unionByName(frag)
-          pending = (if (lastBatchNoRetries) rest
-            else rest.unionByName(retries)).localCheckpoint(true)
-          pendingCount = pending.count()
+          val b = processBatch(chunk, rule)
+          discovered = discovered.unionByName(b.discovered)
+          waveDiscovered += b.discoveredN
+          pending = (if (b.retryN == 0) rest
+            else rest.unionByName(b.retries)).localCheckpoint(true)
+          // arithmetic instead of a count job: chunk rows leave pending,
+          // retry rows re-enter it
+          pendingCount = pendingCount - b.rows + b.retryN
         }
     }
 
-    // per-partition lineage metrics (north rule): rows fetched and errors
-    // per physical partition of the wave's fetch join (A4)
-    val waveErrors = waveErrorCount
-    val discN = discovered.count()
-    lastWaveDiscovered = discN
-    val partRows = wavePartStats.toSeq.sortBy(_._1).map { case (pid, (n, e)) =>
-      WaveMetrics(waveNo, ruleIdx, pid, n, n, e, 0L)
+    // per-partition lineage metrics (north rule): rows fetched, errors and
+    // completed bytes per physical partition of the wave's fetch join (A4)
+    lastWaveDiscovered = waveDiscovered
+    val partRows = wavePartStats.toSeq.sortBy(_._1).map { case (pid, (n, e, b)) =>
+      WaveMetrics(waveNo, ruleIdx, pid, n, n, e, 0L, b)
     }
     val totalRow = WaveMetrics(waveNo, ruleIdx, -1, frontierRows, frontierRows,
-      waveErrors, discN)
+      waveErrorCount, waveDiscovered, waveBytes)
     metrics = metrics.unionByName((partRows :+ totalRow).toDF)
 
-    discovered
+    Some(discovered)
   }
 
   /**
    * Process one ordered batch of frontier records as ONE distributed DAG.
-   * Returns (discovered next-wave records, retry records for this wave).
    *
    * Redirect records are sequence points in the reference (their dup
    * checks observe earlier-seq records' discoveries and aliases); instead
@@ -327,44 +505,47 @@ class CrawlEngine(
    * computed analytically by RedirectResolver — jobs per wave scale with
    * the longest redirect chain, not with the number of redirects.
    */
-  private def processBatch(records: DataFrame, rule: RecipeRule,
-                           knownNonEmpty: Boolean = false): (DataFrame, DataFrame) = {
-    lastBatchNoRetries = true
-    if (!knownNonEmpty && records.limit(1).count() == 0)
-      return (emptyFrontier, emptyFrontier)
-
+  private def processBatch(records: DataFrame, rule: RecipeRule): BatchOut = {
     val joinedBase = records.join(corpusN, col("url") === col("doc_id"), "left")
-    val joined = (config.resumeState match {
+    val joined = pin((config.resumeState match {
       case Nil => joinedBase.withColumn("_resume_err", lit(null).cast("int"))
       case st => joinedBase.join(
         broadcast(FetchResume.failedResumes(spark, corpusN, st)),
         Seq("url"), "left")
-    }).withColumn("outcome", CrawlEngine.outcomeCol)
-      .persist()
+    }).withColumn("outcome", CrawlEngine.outcomeCol(tries))
+      .persist())
 
     // ONE aggregation materializes the batch AND yields the per-partition
-    // lineage rows (A4), the origin error count, and the redirect flag —
-    // three former jobs folded into the cache-warming pass
+    // lineage rows (A4), batch size (empty-detection + frontier count),
+    // error/redirect/temporal-retry counts and completed-fetch bytes —
+    // six former driver actions folded into the cache-warming pass
     val temporalCodesS = ErrorCode.Temporal.toSeq
     val batchStats = joined.groupBy(spark_partition_id().as("_pid"))
       .agg(count(lit(1)).as("_n"),
         sum(when(col("outcome") =!= ErrorCode.NONE, 1L).otherwise(0L)).as("_e"),
         sum(when(col("outcome") === ErrorCode.REDIRECT, 1L).otherwise(0L)).as("_r"),
         sum(when(col("outcome").isin(temporalCodesS: _*) && !col("retry"), 1L)
-          .otherwise(0L)).as("_t"))
+          .otherwise(0L)).as("_t"),
+        sum(when(col("outcome") === ErrorCode.NONE, CrawlEngine.contentLenCol)
+          .otherwise(0L)).as("_b"))
       .collect()
+    if (batchStats.isEmpty) { // empty batch: no state was touched
+      joined.unpersist(false)
+      return emptyBatch
+    }
+    val batchRows = batchStats.map(_.getLong(1)).sum
+    processedTotal += batchRows
     batchStats.foreach { r =>
-      val prev = wavePartStats.getOrElse(r.getInt(0), (0L, 0L))
+      val prev = wavePartStats.getOrElse(r.getInt(0), (0L, 0L, 0L))
       wavePartStats += r.getInt(0) ->
-        (prev._1 + r.getLong(1), prev._2 + r.getLong(2))
+        (prev._1 + r.getLong(1), prev._2 + r.getLong(2), prev._3 + r.getLong(5))
     }
     waveErrorCount += batchStats.map(_.getLong(2)).sum
+    waveBytes += batchStats.map(_.getLong(5)).sum
 
     val redirects = joined.filter(col("outcome") === ErrorCode.REDIRECT)
     val hasRedirects = batchStats.map(_.getLong(3)).sum > 0
-    // no origin-temporal failures and no chains => retries provably empty;
-    // the caller skips the retry sub-batch without another empty-check job
-    lastBatchNoRetries = batchStats.map(_.getLong(4)).sum == 0 && !hasRedirects
+    val temporalN = batchStats.map(_.getLong(4)).sum
 
     // spidering sources: successful SPIDER-mode rows (spiderfetch.py:156-161)
     val nonRedirectCands = qualifyCandidates(
@@ -377,11 +558,12 @@ class CrawlEngine(
       if (hasRedirects)
         Some(RedirectResolver.analyze(spark, redirects, corpusN, seen, rule,
           hostFilterEnabled, docs => qualifyCandidates(docs, rule),
-          nonRedirectCands))
+          nonRedirectCands, tries))
       else None
+    analysis.foreach(_.persisted.foreach(pin))
 
-    val allCands = analysis.map(_.candidates).getOrElse(nonRedirectCands)
-      .persist()
+    val allCands = pin(analysis.map(_.candidates).getOrElse(nonRedirectCands)
+      .persist())
 
     // ---- processed log (the crawl-ordering parity surface): recorded
     // lazily under the (batch_ord, seq) total order; the dense global
@@ -390,23 +572,21 @@ class CrawlEngine(
       joined.select(lit(batchOrd).as("batch_ord"), col("seq"),
         lit(waveNo).as("wave"), col("url"), col("mode"), col("retry")))
 
-    // ---- fetch log: origin fetch of every record + each reached chain hop
-    val originLog = joined.select(col("url"), col("mode"),
-      lit(waveNo).as("wave"), col("outcome").as("errorCode"), col("attempt"))
+    // ---- fetch log: every LAUNCH of every record (in-fetch TRIES retries
+    // expand to one row per temporal launch, fetch.py:650-664) + each
+    // reached chain hop's launches
+    val originLog = CrawlEngine.expandFetchLog(
+      joined.select(col("url"), col("mode"), lit(waveNo).as("wave"),
+        col("attempt"), col("outcome"), col("fail_attempts")), tries)
     val logAll = analysis match {
-      case Some(a) => originLog.unionByName(
+      case Some(a) => originLog.unionByName(CrawlEngine.expandFetchLog(
         a.validHops.select(col("alias_url").as("url"), col("mode"),
-          lit(waveNo).as("wave"), col("to_outcome").as("errorCode"),
-          col("attempt")))
+          lit(waveNo).as("wave"), col("attempt"),
+          col("to_outcome").as("outcome"),
+          col("to_fail").as("fail_attempts")), tries))
       case None => originLog
     }
     fetchLog = fetchLog.unionByName(logAll)
-    // origin-fetch errors were counted in batchStats; chain-hop errors
-    // only exist when the batch had redirects
-    analysis.foreach { a =>
-      waveErrorCount += a.validHops
-        .filter(col("to_outcome") =!= ErrorCode.NONE).count()
-    }
 
     // ---- S5 fetched-file sink: FETCH-mode records move their file to a
     // collision-safe final name (spiderfetch.py:163-165); redirected
@@ -440,7 +620,7 @@ class CrawlEngine(
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_rn")
     val fresh = SeenSet.filterNew(spark, firstWins, seen, "url",
-      if (useSketch) Some(sketch) else None)
+      if (useSketch) Some(sketch) else None, register = pin)
     val freshReal = analysis match {
       case Some(a) =>
         fresh.join(a.aliasMin, Seq("url"), "left")
@@ -451,29 +631,72 @@ class CrawlEngine(
 
     // ---- unified seen-event ordering: a record's chain aliases land
     // before its discoveries; everything interleaves by record seq
-    // (spiderfetch.py:87-102 addRef vs qualify_urls add_url order)
+    // (spiderfetch.py:87-102 addRef vs qualify_urls add_url order).
+    // Alias events also carry the hop's (outcome, bytes, retry-flag): on
+    // the small-batch path the rank's collect then answers the hop-error
+    // count, hop bytes, and chain-retry count with NO further jobs.
     val discEvents = freshReal.select(col("url"), col("host"),
       col("parent_seq").as("pos"), lit(1).as("phase"),
       col("extract_idx").as("idx"), col("canonicalUrl"),
-      col("m_dump"), col("m_fetch"), col("m_spider"))
+      col("m_dump"), col("m_fetch"), col("m_spider"),
+      lit(null).cast("int").as("a_outcome"), lit(0L).as("a_len"),
+      lit(false).as("a_retry"))
     val events = analysis match {
       case Some(a) => a.validHops.select(col("alias_url").as("url"),
         col("alias_host").as("host"), col("pos"), lit(0).as("phase"),
         col("hop").cast("long").as("idx"),
         lit(null).cast("string").as("canonicalUrl"),
         lit(false).as("m_dump"), lit(false).as("m_fetch"),
-        lit(false).as("m_spider"))
+        lit(false).as("m_spider"),
+        col("to_outcome").as("a_outcome"), col("to_len").as("a_len"),
+        col("retry").as("a_retry"))
         .unionByName(discEvents)
       case None => discEvents
     }
-    val (ranked, nNew) = withOrderedIndex(events,
-      Seq(col("pos"), col("phase"), col("idx")), "new_seq", seqCounter)
+    // the rank's one pass also answers "how many next-wave records" —
+    // the former discovered.count() job
+    val rk = withOrderedIndex(events,
+      Seq("pos", "phase", "idx"), "new_seq", seqCounter,
+      countPred = Some((col("m_fetch") || col("m_spider"),
+        (r: org.apache.spark.sql.Row) =>
+          r.getAs[Boolean]("m_fetch") || r.getAs[Boolean]("m_spider"))),
+      small = batchRows <= SmallRankRows)
+    val ranked = rk.df
+    val nNew = rk.total
+    val discoveredN = rk.predN
+    if (rk.localRows.isEmpty) waveAppendLocal = false
     seqCounter += nNew
 
     seen = seen.unionByName(ranked.select(col("url"),
       col("host").as("canonicalHost"), lit(waveNo).as("wave"),
       col("new_seq").as("seq")))
-    if (useSketch && nNew > 0) sketch.add(spark, ranked, "url", "host")
+    if (useSketch && nNew > 0) rk.localRows match {
+      case Some(rows) =>
+        // the rank already collected the rows — fold them into the bank
+        // driver-side instead of paying a build-aggregation job
+        rows.foreach(r =>
+          sketch.addOne(r.getAs[String]("url"), r.getAs[String]("host")))
+      case None => sketch.add(spark, ranked, "url", "host")
+    }
+
+    // ---- chain-hop error/byte counts: free from the collected rank rows
+    // on the small path; one aggregation otherwise (redirect batches only)
+    analysis.foreach { a =>
+      rk.localRows match {
+        case Some(rows) =>
+          val hops = rows.filter(_.getAs[Int]("phase") == 0)
+          waveErrorCount += hops.count(_.getAs[Int]("a_outcome") != ErrorCode.NONE)
+          waveBytes += hops.filter(_.getAs[Int]("a_outcome") == ErrorCode.NONE)
+            .map(_.getAs[Long]("a_len")).sum
+        case None =>
+          val r = a.validHops.agg(
+            sum(when(col("to_outcome") =!= ErrorCode.NONE, 1L).otherwise(0L)),
+            sum(when(col("to_outcome") === ErrorCode.NONE, col("to_len"))
+              .otherwise(0L))).collect()(0)
+          if (!r.isNullAt(0)) waveErrorCount += r.getLong(0)
+          if (!r.isNullAt(1)) waveBytes += r.getLong(1)
+      }
+    }
 
     analysis.foreach { a =>
       aliases = aliases.unionByName(a.validHops.select(
@@ -503,19 +726,32 @@ class CrawlEngine(
       .select(col("url"), col("canonicalUrl"), col("host"), col("mode"),
         col("wave"), col("seq"), lit(true).as("retry"),
         (col("attempt") + 1).as("attempt"))
-    val retries = analysis match {
-      case Some(a) => retryNR.unionByName(
-        a.finals
+    // exact retry count: origin-temporal from batchStats; chain-final
+    // temporal from the collected rank rows (a chain's terminal hop is
+    // the valid hop whose outcome is not REDIRECT — aborted chains never
+    // reach theirs) or, on the big path, one count on redirect batches
+    val (retries, retryN) = analysis match {
+      case Some(a) =>
+        val chainRetries = a.finals
           .filter(!col("aborted") &&
             col("final_outcome").isin(temporalCodes: _*) && !col("retry"))
           .select(col("origin_url").as("url"),
             col("origin_canonical").as("canonicalUrl"),
             col("origin_host").as("host"), col("mode"), col("wave"),
             col("seq"), lit(true).as("retry"),
-            (col("attempt") + 1).as("attempt")))
-      case None => retryNR
+            (col("attempt") + 1).as("attempt"))
+        val chainN = rk.localRows match {
+          case Some(rows) => rows.count { r =>
+            r.getAs[Int]("phase") == 0 &&
+              ErrorCode.isTemporal(r.getAs[Int]("a_outcome")) &&
+              !r.getAs[Boolean]("a_retry")
+          }.toLong
+          case None => chainRetries.count()
+        }
+        (retryNR.unionByName(chainRetries), temporalN + chainN)
+      case None => (retryNR, temporalN)
     }
-    (discovered, retries)
+    BatchOut(discovered, retries, batchRows, discoveredN, retryN)
   }
 
   /**
@@ -561,7 +797,8 @@ class CrawlEngine(
         val meta = Map(
           "rule_idx" -> ruleIdx.toString, "depth" -> depth.toString,
           "wave" -> waveNo.toString, "seq_counter" -> seqCounter.toString,
-          "batch_ord" -> batchOrd.toString) ++
+          "batch_ord" -> batchOrd.toString,
+          "processed_rows" -> processedTotal.toString) ++
           sketch.serialized.map(b => "bloom" ->
             java.util.Base64.getEncoder.encodeToString(b))
         val snap = io.commit(meta, Map(
@@ -579,12 +816,33 @@ class CrawlEngine(
         robotsBlocked = io.table(snap, "robots_blocked")
         metrics = io.table(snap, "metrics")
         fetched = io.table(snap, "fetched")
+        // the commit wrote (= materialized) every consumer of this wave's
+        // cached frames; release them before the next wave
+        releasePins()
       case None =>
         // in-memory mode: only `seen` is re-read during the crawl (dedup
         // anti-joins, redirect dup checks) — eager-truncate just it per
-        // wave; append-only tables stay lazy and materialize once in
-        // tables() at the end.
-        seen = seen.localCheckpoint(true)
+        // wave UNLESS this wave appended only driver-local relations (no
+        // job; the periodic compaction below still bounds the union
+        // depth); append-only tables stay lazy and materialize once in
+        // tables() at the end — EXCEPT on deep crawls, where the lazy
+        // unions would keep every wave's caches pinned: compact every
+        // CompactWaves waves (checkpoint the accumulators, release pins)
+        // so block-manager storage stays bounded by the window, not the
+        // crawl depth (round-2 advice #1)
+        if (!waveAppendLocal) seen = seen.localCheckpoint(true)
+        if (waveNo % CompactWaves == 0) {
+          seen = seen.localCheckpoint(true)
+          processed = processed.localCheckpoint(true)
+          dumped = dumped.localCheckpoint(true)
+          aliases = aliases.localCheckpoint(true)
+          fetchLog = fetchLog.localCheckpoint(true)
+          robotsBlocked = robotsBlocked.localCheckpoint(true)
+          metrics = metrics.localCheckpoint(true)
+          edges = edges.localCheckpoint(true)
+          fetched = fetched.localCheckpoint(true)
+          releasePins()
+        }
     }
     // adaptive sketch sizing (SURVEY §4.4): shards past their sizing have
     // degraded FPP — rebuild the bank from the exact table at 4x capacity
@@ -599,36 +857,90 @@ object CrawlEngine {
   /**
    * Fetch-outcome expression over a (frontier record ⨝ corpus) row —
    * the error taxonomy of `fetch.py:74-121` on the span-table web:
-   * missing doc = DNS, `attempt < fail_attempts` = temporal TIMEOUT,
-   * `redirect_to` = 30x, empty spans = ZeroDataError, and the SPIDER-mode
-   * typecheck (`fetch.py:512-531`): content that is neither HTML nor
-   * URL-bearing raises WrongFileTypeError — but only in SPIDER mode;
-   * FETCH is pre-typechecked (`fetch.py:384-385`) and SPIDER_FETCH
-   * downgrades to a plain fetch instead of erroring
+   * missing doc = DNS; a fetch call at crawl attempt k covers launches
+   * [k*tries, (k+1)*tries) and reports temporal TIMEOUT only when ALL of
+   * them fall below `fail_attempts` (the in-fetch retry loop of
+   * `fetch.py:650-664` with TRIES = `tries`); `redirect_to` = 30x — which
+   * the reference raises inside open() BEFORE the resume checks run
+   * (`fetch.py:205-217` vs the ChangedUrlWarning at `fetch.py:193`), so
+   * the S2 resume verdicts (CHECKSUM / NO_RESUME, non-SPIDER fetches,
+   * `fetch.py:555-558`) rank after REDIRECT; empty spans = ZeroDataError;
+   * and the SPIDER-mode typecheck (`fetch.py:512-531`): content that is
+   * neither HTML nor URL-bearing raises WrongFileTypeError — but only in
+   * SPIDER mode; FETCH is pre-typechecked (`fetch.py:384-385`) and
+   * SPIDER_FETCH downgrades to a plain fetch instead of erroring
    * (`fetch_if_wrongtype`, `fetch.py:390-391,527-529`).
    */
-  def outcomeCol: Column =
+  def outcomeCol(tries: Int): Column =
     when(col("doc_id").isNull, ErrorCode.DNS)
-      .when(col("attempt") < col("fail_attempts"), ErrorCode.TIMEOUT)
-      // S2 resume verdicts (fetch.py:205-217): a failed byte-range resume
-      // (CHECKSUM / NO_RESUME) pre-joined per url; CONT applies to
-      // non-SPIDER fetches (fetch.py:555-558)
+      .when(col("fail_attempts") >= (col("attempt") + 1) * lit(tries),
+        ErrorCode.TIMEOUT)
+      .when(col("redirect_to").isNotNull, ErrorCode.REDIRECT)
       .when(col("mode") =!= Mode.SPIDER && col("_resume_err").isNotNull,
         col("_resume_err"))
-      .when(col("redirect_to").isNotNull, ErrorCode.REDIRECT)
       .when(size(col("spans")) === 0, ErrorCode.NO_DATA)
       .when(col("mode") === Mode.SPIDER &&
         !graft.extract.Extract.isHtmlCol(col("spans")) &&
         !graft.extract.Extract.hasUrlsCol(col("spans"), col("doc_id")),
         ErrorCode.WRONG_TYPE)
       .otherwise(ErrorCode.NONE)
+
+  /** Rendered content length of a joined corpus row — the byte count a
+    * completed fetch downloads (FetchResume.contentOf as a codegen'd
+    * column: pieces joined by "\n" = sum of piece lengths + n-1). */
+  def contentLenCol: Column =
+    when(col("doc_id").isNull || size(col("spans")) === 0, lit(0L))
+      .otherwise(
+        aggregate(col("spans"), lit(0L), (acc, s) =>
+          acc + length(when(s.getField("media_ref") =!= "",
+            s.getField("media_ref")).otherwise(s.getField("text")))) +
+          size(col("spans")) - 1)
+
+  /**
+   * Expand fetch-call rows into per-LAUNCH fetch-log rows (the reference
+   * logs every attempt of `launch_w_tries`, `fetch.py:650-664`): a call at
+   * crawl attempt k on a doc with F=fail_attempts performs
+   * nf = min(max(F - k*tries, 0), tries) temporal launches, then — if
+   * budget remains — one launch with the real outcome. Launch i logs
+   * attempt number k*tries + i. With tries = 1 (the reference default)
+   * this degenerates to exactly one row per call, the round-2 shape.
+   * Input columns: (url, mode, wave, attempt, outcome, fail_attempts);
+   * output: (url, mode, wave, errorCode, attempt).
+   */
+  def expandFetchLog(rows: DataFrame, tries: Int): DataFrame = {
+    val t = lit(tries)
+    val nf = least(
+      greatest(coalesce(col("fail_attempts"), lit(0)) - col("attempt") * t,
+        lit(0)), t)
+    rows
+      .withColumn("_nf", nf)
+      .withColumn("_i", explode(sequence(lit(0),
+        when(col("_nf") === t, t - 1).otherwise(col("_nf")))))
+      .select(col("url"), col("mode"), col("wave"),
+        when(col("_i") < col("_nf"), lit(ErrorCode.TIMEOUT))
+          .otherwise(col("outcome")).as("errorCode"),
+        (col("attempt") * t + col("_i")).cast("int").as("attempt"))
+  }
 }
 
-/** Crawl output tables (the persisted relations of SURVEY §1.2). */
-final case class CrawlTables(
-    seen: DataFrame, processed: DataFrame, dump: DataFrame,
-    edges: DataFrame, aliases: DataFrame, fetchLog: DataFrame,
-    robotsBlocked: DataFrame, metrics: DataFrame, fetched: DataFrame)
+/** Crawl output tables (the persisted relations of SURVEY §1.2).
+  * Fields are LAZY: in-memory crawls checkpoint each table on first
+  * access, so consumers pay only for the tables they actually read. */
+final class CrawlTables(
+    seenF: => DataFrame, processedF: => DataFrame, dumpF: => DataFrame,
+    edgesF: => DataFrame, aliasesF: => DataFrame, fetchLogF: => DataFrame,
+    robotsBlockedF: => DataFrame, metricsF: => DataFrame,
+    fetchedF: => DataFrame) {
+  lazy val seen: DataFrame = seenF
+  lazy val processed: DataFrame = processedF
+  lazy val dump: DataFrame = dumpF
+  lazy val edges: DataFrame = edgesF
+  lazy val aliases: DataFrame = aliasesF
+  lazy val fetchLog: DataFrame = fetchLogF
+  lazy val robotsBlocked: DataFrame = robotsBlockedF
+  lazy val metrics: DataFrame = metricsF
+  lazy val fetched: DataFrame = fetchedF
+}
 
 /** Raw fetched-file log row; global ord + collision-safe names derived
   * at table-build time from the (batch_ord, seq) processing order. */

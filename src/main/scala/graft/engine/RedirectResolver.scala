@@ -77,6 +77,7 @@ object RedirectResolver {
    * @param candidateFn   (parent_seq, doc_id, spans) -> qualified candidates
    * @param nonRedirectCands qualified candidates of the batch's
    *                      non-redirect SPIDER successes
+   * @param tries         in-fetch temporal retry budget (CrawlConfig.tries)
    */
   def analyze(
       spark: SparkSession,
@@ -86,7 +87,8 @@ object RedirectResolver {
       rule: RecipeRule,
       hostFilterEnabled: Boolean,
       candidateFn: DataFrame => DataFrame,
-      nonRedirectCands: DataFrame): Analysis = {
+      nonRedirectCands: DataFrame,
+      tries: Int = 1): Analysis = {
     import spark.implicits._
 
     val keep = ArrayBuffer.empty[DataFrame]
@@ -126,11 +128,16 @@ object RedirectResolver {
         .join(corpusN, col("to_url") === col("doc_id"), "left")
         // resume state applies at the record's origin fetch, not mid-chain
         .withColumn("_resume_err", lit(null).cast("int"))
-        .withColumn("to_outcome", CrawlEngine.outcomeCol)
+        .withColumn("to_outcome", CrawlEngine.outcomeCol(tries))
+        // hop target's content length + fail_attempts ride along for the
+        // wave's bytes metric and the per-launch fetch-log expansion
+        .withColumn("to_len", CrawlEngine.contentLenCol)
+        .withColumn("to_fail", coalesce(col("fail_attempts"), lit(0)))
         .persist()
       keep += hopJoined
       levels += hopJoined.select("seq", "mode", "attempt", "hop", "from_url",
-        "to_url", "to_host", "rw_ok", "host_ok", "cycle", "to_outcome")
+        "to_url", "to_host", "rw_ok", "host_ok", "cycle", "to_outcome",
+        "to_len", "to_fail")
       cur = hopJoined
         .filter(col("rw_ok") && col("host_ok") && !col("cycle") &&
           col("to_outcome") === ErrorCode.REDIRECT)
@@ -183,10 +190,12 @@ object RedirectResolver {
       // (addRef fires for exactly the targets that then get fetched)
       val validHops = hopsF.join(abortDf, Seq("seq"), "left")
         .filter(col("abort_hop").isNull || col("hop") < col("abort_hop"))
-        .join(finalsBase.select(col("seq"), col("origin_url")), Seq("seq"))
+        .join(finalsBase.select(col("seq"), col("origin_url"), col("retry")),
+          Seq("seq"))
         .select(col("seq").as("pos"), col("hop"), col("to_url").as("alias_url"),
           col("to_host").as("alias_host"), col("origin_url"), col("mode"),
-          col("attempt"), col("to_outcome"))
+          col("attempt"), col("retry"), col("to_outcome"), col("to_len"),
+          col("to_fail"))
       val chainSpiderDocs = finals
         .filter(!col("aborted") && col("mode") === Mode.SPIDER &&
           col("final_outcome") === ErrorCode.NONE)

@@ -76,7 +76,8 @@ object Scheduler {
                    broadcastRejoin: Boolean =
                      !sys.env.get("SPARK_GRAFT_DEQUEUE_SHUFFLE_REJOIN")
                        .contains("1"),
-                   materializeIds: Boolean = true): (DataFrame, DataFrame) = {
+                   materializeIds: Boolean = true,
+                   register: DataFrame => Unit = _ => ()): (DataFrame, DataFrame) = {
     val w1 = Window.partitionBy(col("host"), col("_salt")).orderBy(col(priority))
     val w2 = Window.partitionBy(col("host")).orderBy(col(priority))
     val salted =
@@ -96,8 +97,12 @@ object Scheduler {
       .filter(col("_hrk") <= perHostBudget)
       .select("seq")
     // cache only when the caller consumes BOTH sides in separate actions
-    // (engine budget loop); single-action callers would just leak storage
-    val cached = if (materializeIds) chunkIds.persist() else chunkIds
+    // (engine budget loop); single-action callers would just leak storage.
+    // `register` hands the cached frame to the caller's unpersist ledger
+    // (the engine's per-wave pin list) so the id cache is released once
+    // chunk+rest are materialized.
+    val cached = if (materializeIds) { val c = chunkIds.persist(); register(c); c }
+      else chunkIds
     val ids = if (broadcastRejoin) broadcast(cached) else cached
     val chunk = pending.join(ids, Seq("seq"), "left_semi")
     val rest = pending.join(ids, Seq("seq"), "left_anti")

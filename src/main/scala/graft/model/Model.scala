@@ -104,18 +104,35 @@ final case class FetchStateRow(url: String, bytes_done: Long, tail_hash: Long)
 
 /** Engine-only scale knobs (north rule), absent in the reference. The
   * parity configuration is the defaults: unlimited budget, no robots,
-  * FIFO priority — which degrades the scheduler to reference behavior. */
+  * FIFO priority — which degrades the scheduler to reference behavior.
+  *
+  * `tries` models the reference's in-fetch retry loop (`fetch.py:393-395,
+  * 650-664`: TRIES temporal attempts with a wait INSIDE one fetch call,
+  * before the crawl-level once-only requeue of `spiderfetch.py:150-154`).
+  * Launch k*tries+i of a doc fails iff its index < fail_attempts; a fetch
+  * call at crawl attempt k reports TIMEOUT only when all `tries` launches
+  * fail. Default 1 = the reference's default (TRIES env unset). One
+  * documented simplification: the reference DECREMENTS one shared counter
+  * across the redirect hops of a get_url call; here each hop fetch gets a
+  * fresh budget (indistinguishable at tries=1, and RefCrawler mirrors the
+  * same model so parity is exact). */
 final case class CrawlConfig(
     perHostBudget: Option[Int] = None,
     robots: Seq[RobotsRule] = Nil,
     saltBuckets: Int = 1,
-    resumeState: Seq[FetchStateRow] = Nil)
+    resumeState: Seq[FetchStateRow] = Nil,
+    tries: Int = 1)
 
 /** robots.txt-style rule: path prefix allow/deny per host. */
 final case class RobotsRule(host: String, pathPrefix: String, allow: Boolean)
 
-/** Per-wave, per-partition lineage/metrics row (north rule). */
+/** Per-wave, per-partition lineage/metrics row (north rule).
+  * `bytesFetched` is the rendered content length of completed (outcome
+  * NONE) fetches — the engine twin of the reference's download byte/rate
+  * tracking (`fetch.py:443-453,533-545`); redirect-chain hop bytes are
+  * attributed to the wave's totals row (partitionId = -1), per-partition
+  * rows carry the origin-fetch bytes of their physical partition. */
 final case class WaveMetrics(
     wave: Int, ruleIdx: Int, partitionId: Int,
     frontierRows: Long, fetchedRows: Long, errorRows: Long,
-    discoveredRows: Long)
+    discoveredRows: Long, bytesFetched: Long)

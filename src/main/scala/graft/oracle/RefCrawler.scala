@@ -18,8 +18,13 @@ import scala.collection.mutable
  *
  * "Fetching" resolves against the span-table corpus (the corpus IS the
  * web): redirects via `redirect_to`, temporal failures via `fail_attempts`
- * (attempt k fails iff k < fail_attempts, where k = 0 for the original
- * record and 1 for its once-only retry), zero-data via empty spans.
+ * (launch j of a doc fails iff j < fail_attempts; a fetch call at crawl
+ * attempt k covers launches [k*tries, (k+1)*tries) — the in-fetch retry
+ * loop of `fetch.py:650-664` with TRIES = config.tries, each launch logged
+ * — before the crawl-level once-only retry), zero-data via empty spans.
+ * A 30x raises ChangedUrlWarning inside open() BEFORE the resume checks
+ * run (`fetch.py:193` vs `:205-217`), so redirect outranks the S2 resume
+ * verdicts here and in the engine.
  *
  * Extension knobs (politeness budget, robots) define the SAME semantics the
  * distributed engine implements, so engine==oracle can be asserted for
@@ -39,7 +44,8 @@ object RefCrawler {
       fetchLog: Vector[FetchLogEntry],
       robotsBlocked: Vector[String],
       fetched: Vector[(String, String)],   // (url, collision-safe filename)
-      waveTotals: Vector[(Int, Int, Long, Long, Long)]) // (wave, ruleIdx, frontierRows, errorRows, discoveredRows)
+      // (wave, ruleIdx, frontierRows, errorRows, discoveredRows, bytesFetched)
+      waveTotals: Vector[(Int, Int, Long, Long, Long, Long)])
 
   private sealed trait FetchOutcome
   private case object Success extends FetchOutcome
@@ -81,7 +87,7 @@ object RefCrawler {
 
     val edges = mutable.LinkedHashMap.empty[(String, String), Int]
     val aliasRows = Vector.newBuilder[(String, String, Int)]
-    val waveTotals = Vector.newBuilder[(Int, Int, Long, Long, Long)]
+    val waveTotals = Vector.newBuilder[(Int, Int, Long, Long, Long, Long)]
     val dump = Vector.newBuilder[String]
     val processed = Vector.newBuilder[ProcessedRow]
     val fetchLog = Vector.newBuilder[FetchLogEntry]
@@ -120,30 +126,52 @@ object RefCrawler {
           graft.engine.FetchResume.contentOf(d), st))
         .filter(_ != ErrorCode.NONE)
 
+    var fetchBytes = 0L
+
+    // One fetch CALL = up to `tries` launches (launch_w_tries,
+    // fetch.py:650-664): launch j = attempt*tries + i fails temporally iff
+    // j < fail_attempts; each launch logs a row; the call's outcome is the
+    // first non-temporal launch, or TIMEOUT when the budget runs out.
     def fetch(url: String, attempt: Int, mode: Int): FetchOutcome = {
-      val out = docs.get(url) match {
-        case None => Failed(ErrorCode.DNS)
-        case Some(d) if attempt < d.fail_attempts => Failed(ErrorCode.TIMEOUT)
-        case Some(d) if resumeErr(url, d, mode).isDefined =>
-          Failed(resumeErr(url, d, mode).get)
-        case Some(d) if d.redirect_to.isDefined => Redirected(d.redirect_to.get)
-        case Some(d) if d.spans.isEmpty => Failed(ErrorCode.NO_DATA)
-        // SPIDER-mode typecheck (fetch.py:512-531): neither HTML nor
-        // URL-bearing -> WrongFileTypeError. FETCH is pre-typechecked
-        // (fetch.py:384-385); SPIDER_FETCH downgrades to plain fetch
-        // instead of erroring (fetch_if_wrongtype, fetch.py:390-391).
-        case Some(d) if mode == Mode.SPIDER &&
-          !Extract.isHtmlSeq(d) && !Extract.hasUrlsSeq(d) =>
-          Failed(ErrorCode.WRONG_TYPE)
-        case Some(_) => Success
+      val tries = config.tries
+      val base = attempt * tries
+      val d = docs.get(url)
+      val nFails = d.map(doc =>
+        math.min(math.max(doc.fail_attempts - base, 0), tries)).getOrElse(0)
+      (0 until nFails).foreach { i =>
+        fetchLog += FetchLogEntry(url, mode, waveNo, ErrorCode.TIMEOUT, base + i)
       }
+      val out: FetchOutcome =
+        if (nFails == tries) Failed(ErrorCode.TIMEOUT)
+        else d match {
+          case None => Failed(ErrorCode.DNS)
+          // ChangedUrlWarning raises inside open() before the resume
+          // checks run (fetch.py:193 vs :205-217)
+          case Some(doc) if doc.redirect_to.isDefined =>
+            Redirected(doc.redirect_to.get)
+          case Some(doc) if resumeErr(url, doc, mode).isDefined =>
+            Failed(resumeErr(url, doc, mode).get)
+          case Some(doc) if doc.spans.isEmpty => Failed(ErrorCode.NO_DATA)
+          // SPIDER-mode typecheck (fetch.py:512-531): neither HTML nor
+          // URL-bearing -> WrongFileTypeError. FETCH is pre-typechecked
+          // (fetch.py:384-385); SPIDER_FETCH downgrades to plain fetch
+          // instead of erroring (fetch_if_wrongtype, fetch.py:390-391).
+          case Some(doc) if mode == Mode.SPIDER &&
+            !Extract.isHtmlSeq(doc) && !Extract.hasUrlsSeq(doc) =>
+            Failed(ErrorCode.WRONG_TYPE)
+          case Some(_) => Success
+        }
       val code = out match {
         case Failed(c) => c
         case Redirected(_) => ErrorCode.REDIRECT
         case Success => ErrorCode.NONE
       }
-      fetchLog += FetchLogEntry(url, mode, waveNo, code, attempt)
+      // the final (non-budget-exhausted) launch logs the real outcome
+      if (nFails < tries)
+        fetchLog += FetchLogEntry(url, mode, waveNo, code, base + nFails)
       if (code != ErrorCode.NONE) fetchLogErrors += 1
+      // completed fetches download the rendered content (fetch.py:443-453)
+      else fetchBytes += graft.engine.FetchResume.contentOf(d.get).length
       out
     }
 
@@ -235,6 +263,7 @@ object RefCrawler {
     def processRecords(queue: Seq[Rec], rule: RecipeRule, ruleIdx: Int): Seq[Rec] = {
       waveNo += 1
       val errorsBefore = fetchLogErrors
+      val bytesBefore = fetchBytes
       val newqueue = mutable.ArrayBuffer.empty[Rec]
       val admitted = queue.filter { r =>
         val ok = robotsAllows(r.url)
@@ -273,7 +302,8 @@ object RefCrawler {
           }
       }
       waveTotals += ((waveNo, ruleIdx, admitted.length.toLong,
-        fetchLogErrors - errorsBefore, newqueue.length.toLong))
+        fetchLogErrors - errorsBefore, newqueue.length.toLong,
+        fetchBytes - bytesBefore))
       newqueue.toSeq
     }
 

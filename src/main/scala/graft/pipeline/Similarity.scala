@@ -64,19 +64,26 @@ object Similarity {
   }
 
   /** ANN top-k: probe the query's bucket plus `multiprobe` single-bit
-    * flips, exact cosine within candidates. Recall grows with probes. */
+    * flips, exact cosine within candidates. Recall grows with probes.
+    * bits <= 0 (the default) scales the signature width ~log2(n) — one
+    * count job — so expected bucket occupancy stays O(1) as the table
+    * grows (round-2 verdict #4: a fixed bits=8 leaves 10^7-row buckets at
+    * the 10^10 design point); pass bits explicitly to pin it. */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Float], k: Int, bits: Int = 8, seed: Long = 7L,
+              query: Seq[Float], k: Int, bits: Int = 0, seed: Long = 7L,
               multiprobe: Int = 8): DataFrame = {
+    val bits0 = if (bits > 0) bits
+      else math.max(8, (math.log(embeddings.count().toDouble + 1) /
+        math.log(2)).ceil.toInt + 1)
     val dim = query.length
-    val planes = hyperplanes(bits, dim, seed)
-    val qBucket = (0 until bits).map { i =>
+    val planes = hyperplanes(bits0, dim, seed)
+    val qBucket = (0 until bits0).map { i =>
       val d = planes(i).zip(query).map { case (p, x) => p * x }.sum
       if (d >= 0) 1L << i else 0L
     }.sum
-    val probes = qBucket +: (0 until math.min(multiprobe, bits))
+    val probes = qBucket +: (0 until math.min(multiprobe, bits0))
       .map(i => qBucket ^ (1L << i))
-    val bucketed = withHyperplaneBucket(embeddings, vecCol, bits, dim, seed)
+    val bucketed = withHyperplaneBucket(embeddings, vecCol, bits0, dim, seed)
     val q = typedLit(query.map(_.toDouble))
     bucketed
       .filter(col("bucket").isin(probes: _*))
@@ -151,15 +158,28 @@ object Similarity {
   }
 
   /** IVF ANN top-k: probe the nprobe nearest cells, exact cosine within.
-    * Expected scan fraction = nprobe / cells. */
+    * Expected scan fraction = nprobe / cells.
+    *
+    * cells/nprobe <= 0 (the defaults) scale with the table — one count
+    * job: cells = max(16, ceil(√n)) (the standard IVF sizing: per-cell
+    * occupancy ~√n, so probe cost and centroid-scan cost balance; a fixed
+    * cells=16 leaves 6×10^8-row cells at the 10^10 design point — round-2
+    * verdict #4), nprobe = min(cells, ceil(√cells)+4). The q17 DuckDB
+    * oracle computes the SAME formulas in SQL, so the rebuilt index stays
+    * bit-identical. Pass explicit values to pin. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Float], k: Int, cells: Int = 16,
-              nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = kmeansCentroids(embeddings, idCol, vecCol, cells, iters)
+              query: Seq[Float], k: Int, cells: Int = 0,
+              nprobe: Int = 0, iters: Int = 2): DataFrame = {
+    val n = if (cells <= 0 || nprobe <= 0) embeddings.count() else 0L
+    val cells0 = if (cells > 0) cells
+      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe0 = if (nprobe > 0) nprobe
+      else math.min(cells0, math.ceil(math.sqrt(cells0.toDouble)).toInt + 4)
+    val cents = kmeansCentroids(embeddings, idCol, vecCol, cells0, iters)
     val qd = query.map(_.toDouble)
     val probeCells = cents.zipWithIndex
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
-      .sortBy { case (d, i) => (-d, i) }.take(nprobe).map(_._2)
+      .sortBy { case (d, i) => (-d, i) }.take(nprobe0).map(_._2)
     val q = typedLit(qd)
     withIvfCell(embeddings, vecCol, cents)
       .filter(col("cell").isin(probeCells: _*))

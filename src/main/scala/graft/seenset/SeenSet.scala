@@ -2,11 +2,11 @@ package graft.seenset
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -50,6 +50,26 @@ final class BloomBank(
 object BloomBank {
   def partitionOf(host: String, partitions: Int): Int =
     math.floorMod(CuckooFilter.hash64(host).toInt, partitions)
+  // static JVM entry point referenced by BloomShardId's generated code
+  def partitionOfU(host: UTF8String, partitions: Int): Int =
+    partitionOf(host.toString, partitions)
+}
+
+/** Codegen'd shard-id derivation for the sketch-BUILD aggregations
+  * (round-2 verdict #9: `add`/`rebuildFrom` routed the shard id through a
+  * Scala UDF — off the per-row filter path, but the same UrlFunctions
+  * pattern applies and keeps the groupBy key inside codegen). */
+case class BloomShardId(child: Expression, partitions: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bloom_shard_id"
+  override protected def nullSafeEval(host: Any): Any =
+    BloomBank.partitionOfU(host.asInstanceOf[UTF8String], partitions)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"graft.seenset.BloomBank.partitionOfU($h, $partitions)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Codegen'd membership probe: `BloomBankContains(url, host)` compiles to
@@ -102,7 +122,22 @@ class SeenFilter private (
 
   def isDefined: Boolean = bank.exists(_ != null)
 
-  private def freeze: BloomBank = new BloomBank(bank, Partitions)
+  /** Plan-embedded SNAPSHOT of the bank. Deep-copied (round-2 advice #3):
+    * the probe expression ships via addReferenceObj, and sharing the live
+    * mutable filters would make a lazily-evaluated consumer observe a
+    * NEWER bank state after the next add/rebuild — a silent misclassify.
+    * Cost = one serialize pass per wave, the same order as shipping the
+    * bank with the plan (which a real deploy replaces with per-partition
+    * shard distribution anyway). */
+  private def freeze: BloomBank = new BloomBank(
+    bank.map { b =>
+      if (b == null) null
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        b.writeTo(bos)
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(bos.toByteArray))
+      }
+    }, Partitions)
 
   /** Split candidates into (definitelyNew, maybeSeen) by the sketch. */
   def split(spark: SparkSession, candidates: DataFrame,
@@ -121,10 +156,8 @@ class SeenFilter private (
   def add(spark: SparkSession, added: DataFrame,
           urlCol: String, hostCol: String): Unit = {
     import spark.implicits._
-    val pid = udf((h: String) => BloomBank.partitionOf(h, Partitions))
     val agg = udaf(new BloomAgg(expectedPer, Fpp))
-    val rows = added
-      .select(pid(col(hostCol)).as("_pid"), col(urlCol).as("_u"))
+    val rows = SeenFilter.shardKeyed(added, urlCol, hostCol)
       .groupBy("_pid").agg(agg(col("_u")).as("_bf"), count(lit(1)).as("_n"))
       .as[(Int, Array[Byte], Long)].collect()
     rows.foreach { case (i, bytes, n) =>
@@ -163,8 +196,7 @@ class SeenFilter private (
   def rebuildFrom(spark: SparkSession, seen: DataFrame,
                   urlCol: String, hostCol: String): Unit = {
     import spark.implicits._
-    val pid = udf((h: String) => BloomBank.partitionOf(h, Partitions))
-    val keyed = seen.select(pid(col(hostCol)).as("_pid"), col(urlCol).as("_u"))
+    val keyed = SeenFilter.shardKeyed(seen, urlCol, hostCol)
     val maxShard = keyed.groupBy("_pid").count()
       .agg(max("count")).as[Long].collect().headOption.getOrElse(1L)
     expectedPer = math.max(math.max(expectedPer, InitialExpectedPer),
@@ -204,6 +236,16 @@ class SeenFilter private (
 object SeenFilter {
   /** Shard count: aligns with the frontier's host-hash partitioning. */
   val Partitions: Int = 16
+
+  /** (shard id, url) projection feeding the sketch-BUILD aggregations —
+    * shard id via the codegen'd BloomShardId expression (round-2 verdict
+    * #9: was a Scala UDF); exposed so PlanSpec can gate the plan shape. */
+  def shardKeyed(df: DataFrame, urlCol: String, hostCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val pid = GraftColumnBridge.column(
+      BloomShardId(GraftColumnBridge.expression(col(hostCol)), Partitions))
+    df.select(pid.as("_pid"), col(urlCol).as("_u"))
+  }
   val Fpp: Double = 0.03
   /** Initial per-shard sizing — deliberately modest; saturated shards are
     * rebuilt from the exact table with grown capacity (see rebuildFrom). */
@@ -246,16 +288,19 @@ object SeenSet {
       seen: DataFrame,
       urlCol: String,
       sketch: Option[SeenFilter] = None,
-      hostCol: String = "host"): DataFrame = {
+      hostCol: String = "host",
+      register: DataFrame => Unit = _ => ()): DataFrame = {
     val seenKeys = seen.select(col(urlCol))
     sketch.filter(_.isDefined) match {
       case Some(f) =>
         // cache the candidate subtree: the split's two branches and the
         // union would otherwise evaluate it 2x CONCURRENTLY (one union
         // job), doubling peak sort/shuffle memory — at high thread counts
-        // that tips the executor into spill thrash
+        // that tips the executor into spill thrash. `register` hands the
+        // cached frame to the caller's unpersist ledger.
         val c = candidates.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        register(c)
         val (definitelyNew, maybeSeen) = f.split(spark, c, urlCol, hostCol)
         definitelyNew.unionByName(
           maybeSeen.join(seenKeys, Seq(urlCol), "left_anti"))

@@ -57,7 +57,17 @@ class TableIO(baseDir: String, spark: SparkSession) {
       val files = fs.listStatus(p).toSeq
         .filter(s => s.getPath.getName.startsWith("part-"))
         .map(s => FileLineage(s.getPath.getName, s.getLen))
-      val rows = spark.read.parquet(p.toString).count()
+      // row counts straight from the parquet FOOTERS on the driver — the
+      // write already recorded them; the round-2 version re-read every
+      // table with a spark.read...count() job (one extra scan action per
+      // table per snapshot on checkpointed crawls). This is what a real
+      // Iceberg commit does: manifests carry write-time stats.
+      val rows = files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(p, f.name), spark.sparkContext.hadoopConfiguration))
+        try r.getRecordCount finally r.close()
+      }.sum
       name -> TableLineage(rows, files)
     }
 

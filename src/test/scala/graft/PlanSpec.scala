@@ -121,6 +121,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bloom_bank_contains"), s"expected the native probe:\n$p")
   }
 
+  test("no UDF in the sketch-BUILD aggregation: shard id is codegen'd") {
+    import spark.implicits._
+    val seen = spark.range(1000).select(
+      concat(lit("http://h"), pmod(col("id"), lit(7)), lit("/p"), col("id")).as("url"),
+      concat(lit("h"), pmod(col("id"), lit(7))).as("host"))
+    val keyed = graft.seenset.SeenFilter.shardKeyed(seen, "url", "host")
+    val p = plan(keyed.groupBy("_pid").count())
+    assert(!p.contains("ScalaUDF"),
+      s"sketch-build aggregation must not contain UDFs:\n$p")
+    assert(p.contains("bloom_shard_id"), s"expected the native shard id:\n$p")
+  }
+
+  test("monotonically_increasing_id layout pin: pid<<33 | dense local row") {
+    // withOrderedIndex derives global ranks from this documented-as-
+    // "current implementation" bit layout (CrawlEngine.scala) — pin it so
+    // a Spark upgrade that changes it fails HERE, not as an
+    // ordering-parity corruption three suites away (round-2 advice #4)
+    val df = spark.range(0, 10000).repartition(7)
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", spark_partition_id().cast("long"))
+    assert(df.filter(shiftright(col("mid"), 33) =!= col("pid")).count() == 0,
+      "high bits must be the partition id (>> 33)")
+    val local = col("mid").bitwiseAND(lit((1L << 33) - 1))
+    val perPid = df.groupBy("pid").agg(
+      min(local).as("lo"), max(local).as("hi"), count(lit(1)).as("n"))
+      .collect()
+    perPid.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == r.getLong(3) - 1,
+        s"local row numbers must be dense from 0: $r")
+    }
+  }
+
   test("no UDF on the robots admission path") {
     import spark.implicits._
     val queue = spark.range(100).select(

@@ -157,6 +157,45 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(!plainRows.contains((Mode.SPIDER_FETCH, ErrorCode.WRONG_TYPE)))
   }
 
+  test("in-fetch TRIES retries: fail_attempts past 1 succeed, log per launch") {
+    // tries=3 (the reference's TRIES env, fetch.py:393-395,650-664):
+    //  - t2 (fail_attempts=2) succeeds within the FIRST fetch call
+    //    (launches 0,1 TIMEOUT; launch 2 succeeds) — no crawl-level retry;
+    //  - t4 exhausts call 0 (launches 0-2), crawl retries once, call 1
+    //    succeeds at launch 4 -> multi-attempt rows in the fetch log;
+    //  - t7 exhausts both calls -> permanent temporal error.
+    val seed2 = "http://h9.test/seed.html"
+    def flaky(name: String, fails: Int) = CorpusDoc(
+      s"http://h9.test/$name.html",
+      Seq(Span("text", "eventually", "", 0),
+        Span("link", s"http://h9.test/leaf-$name.html", "", 20)),
+      fail_attempts = fails)
+    def leaf(name: String) = CorpusDoc(s"http://h9.test/leaf-$name.html",
+      Seq(Span("text", "leaf", "", 0)))
+    val docs = Seq(
+      CorpusDoc(seed2, Seq(
+        Span("link", "http://h9.test/t2.html", "", 0),
+        Span("link", "http://h9.test/t4.html", "", 30),
+        Span("link", "http://h9.test/t7.html", "", 60))),
+      flaky("t2", 2), flaky("t4", 4), flaky("t7", 7),
+      leaf("t2"), leaf("t4"), leaf("t7"))
+    val rules = Seq(RecipeRule(spider = Some(".*"), depth = 3))
+    val cfg = CrawlConfig(tries = 3)
+    assertParity(rules, config = cfg, docs = docs, seedUrl = seed2,
+      clue = "tries")
+    val engine = new CrawlEngine(spark, docs.toDF, seed2, rules,
+      config = cfg).run()
+    val t4rows = engine.fetchLog.filter(col("url") === "http://h9.test/t4.html")
+      .select("errorCode", "attempt").as[(Int, Int)].collect.toSeq.sortBy(_._2)
+    assert(t4rows == Seq((ErrorCode.TIMEOUT, 0), (ErrorCode.TIMEOUT, 1),
+      (ErrorCode.TIMEOUT, 2), (ErrorCode.TIMEOUT, 3), (ErrorCode.NONE, 4)),
+      s"per-launch log rows: $t4rows")
+    // t2's leaf discovered in wave 2 (no crawl retry), t4's via the retry
+    assert(engine.seen.filter(col("url").endsWith("leaf-t2.html")).count() == 1)
+    assert(engine.seen.filter(col("url").endsWith("leaf-t4.html")).count() == 1)
+    assert(engine.seen.filter(col("url").endsWith("leaf-t7.html")).count() == 0)
+  }
+
   test("hot-host skew corpus: parity holds under budget + skew") {
     val skewed = FixtureCorpus.generate(params.copy(hotHostFactor = 4,
       redirectPages = 1, failPages = 1))
