@@ -770,6 +770,30 @@ object Queries {
       |    FROM events))
       |WHERE rn = 1 ORDER BY url""".stripMargin
 
+  /** Winnowing fingerprints (SIGMOD'03 MOSS scheme) over a deterministic
+    * doc sample — the rolling-hash document-fingerprinting operator of
+    * the training-pipeline family, exploded for a row-exact oracle. */
+  def q25WinnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("text"))).as("fp"))
+      .orderBy("doc_id", "fp")
+
+  /** DuckDB replay of the same k=8-gram md5-prefix hashes and w=4-window
+    * minima (list slicing is 1-based INCLUSIVE: hs[j:j+3] = 4 hashes). */
+  val q25Sql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM docs),
+      |g AS (SELECT doc_id,
+      |  [substr(md5(substring(t, i, 8)), 1, 8)
+      |   FOR i IN generate_series(1, greatest(length(t) - 7, 1))] AS hs FROM n),
+      |w AS (SELECT doc_id,
+      |  [list_min(hs[j:j+3])
+      |   FOR j IN generate_series(1, greatest(len(hs) - 3, 1))] AS mins FROM g)
+      |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
+      |FROM w ORDER BY doc_id, fp""".stripMargin
+
   def q20MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Multimodal
     Multimodal.extractFeatures(Multimodal.synthesize(s, 120)).toDF

@@ -60,7 +60,9 @@ object SparkEntry {
     "q22_cuckoo_sketch" -> (Queries.q22CuckooSketch _),
     // §2.10 streaming twins (real Structured Streaming runs)
     "q23_stream_window" -> (Queries.q23StreamWindow _),
-    "q24_stream_first_seen" -> (Queries.q24StreamFirstSeen _))
+    "q24_stream_first_seen" -> (Queries.q24StreamFirstSeen _),
+    // winnowing (rolling-hash) document fingerprints
+    "q25_winnow_fingerprints" -> (Queries.q25WinnowFingerprints _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -78,6 +80,7 @@ object SparkEntry {
     "q22_cuckoo_sketch" -> Queries.q22Sql,
     "q23_stream_window" -> Queries.q8Sql, // streaming complete == batch agg
     "q24_stream_first_seen" -> Queries.q24Sql,
+    "q25_winnow_fingerprints" -> Queries.q25Sql,
     "q1_agg" -> Queries.q1Sql,
     "q2_join_revenue" -> Queries.q2Sql,
     "q3_topk_customers" -> Queries.q3Sql,

@@ -100,4 +100,28 @@ object TextAnalysis {
     val grams = transform(idx, i => norm.substr(i * stride + 1, lit(8)))
     aggregate(transform(grams, g => xxhash64(g)), lit(0L), (acc, h) => acc.bitwiseXOR(h))
   }
+
+  /**
+   * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+   * — the MOSS scheme): rolling k-gram hashes over the normalized text,
+   * then the minimum hash of every w-hash window; the distinct minima are
+   * the fingerprint SET. Guarantee: any shared substring of length
+   * >= k + w - 1 contributes at least one shared fingerprint, so overlap
+   * of fingerprint sets lower-bounds copied content — the classic
+   * partial-duplicate / contamination detector, as one codegen'd column
+   * expression (no UDF; one scan, no shuffle until the caller aggregates).
+   *
+   * The hash is the first 8 hex chars of md5(gram) compared as a string —
+   * identical in Spark and DuckDB, so the oracle replays it exactly
+   * (per-window min VALUE is tie-break-free: equal minima pick the same
+   * value either way).
+   */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    val gIdx = sequence(lit(1), greatest(length(norm) - (k - 1), lit(1)))
+    val hashes = transform(gIdx, i => md5(norm.substr(i, lit(k))).substr(1, 8))
+    val wIdx = sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1)))
+    array_sort(array_distinct(
+      transform(wIdx, j => array_min(slice(hashes, j, lit(w))))))
+  }
 }

@@ -119,6 +119,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(scanned < emb.count(), s"scanned $scanned")
   }
 
+  test("winnowing fingerprints: copied content shares fingerprints, disjoint doesn't") {
+    import graft.pipeline.TextAnalysis
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the forest while the hunters sleep soundly at home"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " with a freshly appended tail of new words"),
+      (3L, "completely unrelated content about spark catalyst optimizer " +
+        "rules and whole stage codegen internals nothing shared at all"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      TextAnalysis.winnowFingerprints(col("text")).as("fp"))
+      .as[(Long, Seq[String])].collect().toMap
+    def overlap(a: Long, b: Long): Double =
+      fps(a).toSet.intersect(fps(b).toSet).size.toDouble / fps(a).size
+    // doc 2 contains doc 1 verbatim: winnowing guarantees shared
+    // fingerprints for every shared window (>= k+w-1 chars)
+    assert(overlap(1, 2) >= 0.8, s"near-copy overlap ${overlap(1, 2)}")
+    assert(overlap(1, 3) <= 0.1, s"disjoint overlap ${overlap(1, 3)}")
+    // deterministic (pure column expression)
+    val again = docs.select(col("doc_id"),
+      TextAnalysis.winnowFingerprints(col("text")).as("fp"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(again == fps)
+  }
+
   test("hot-bucket cap: 10^5 identical docs do not go quadratic") {
     // a degenerate band key (boilerplate/empty docs) must stay bounded:
     // bucketCap keeps the C lowest ids per bucket -> C*(C-1)/2 pairs, not
