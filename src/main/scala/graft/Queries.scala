@@ -794,6 +794,66 @@ object Queries {
       |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
       |FROM w ORDER BY doc_id, fp""".stripMargin
 
+  /** P8 display truncation (`urlrewrite.py:50-57`): middle-ellipsis over
+    * a deterministic synthetic URL set — short URLs pass through, long
+    * ones keep head + "..." + tail at width 34. */
+  def q26UrlDisplay(s: SparkSession, dir: String): DataFrame =
+    s.range(200).select(
+      concat(lit("http://host"), pmod(col("id"), lit(23)),
+        lit(".test/dir"), col("id"), lit("/page"), col("id"),
+        lit(".html")).as("url"))
+      .withColumn("display",
+        graft.urlcanon.UrlRewrite.truncateUrlCol(col("url"), 34))
+      .orderBy("url")
+
+  /** Width 34: w=31, head=16, tail=15 — same arithmetic in SQL. */
+  val q26Sql: String =
+    """WITH u AS (
+      |  SELECT 'http://host' || (range % 23) || '.test/dir' || range ||
+      |         '/page' || range || '.html' AS url
+      |  FROM range(200))
+      |SELECT url,
+      |  CASE WHEN length(url) > 34
+      |       THEN substr(url, 1, 16) || '...' || substr(url, length(url) - 14)
+      |       ELSE url END AS display
+      |FROM u ORDER BY url""".stripMargin
+
+  /** E7 colorize_shell (`spider.py:106-123`): ANSI-highlighted rendering
+    * of a fixed probe doc pair — extractor spans wrapped in SGR 31+rank%6,
+    * ftp spans highlighted only on ftp pages. */
+  def q27Colorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Seq(
+      CorpusDoc("http://testcases.example/page", Seq(
+        Span("text", "intro prose", "", 0),
+        Span("link", "http://1host/path", "", 10),
+        Span("uri", "http://1host/path", "", 10),
+        Span("link_unq", "13file.path", "", 40),
+        Span("img", "", "http://img.example/i.jpg", 60),
+        Span("ftp", "notftp.txt", "", 70))), // non-ftp page: plain
+      CorpusDoc("ftp://ftp0.test/pub/", Seq(
+        Span("ftp", "stage1-x86.tar.bz2", "", 0))))
+    docs.toDS.toDF.select(col("doc_id"),
+      graft.extract.Extract.colorizeShell(col("doc_id"), col("spans"))
+        .as("colorized"))
+      .orderBy("doc_id")
+  }
+
+  /** Expected ANSI strings derived from the extractor ranks
+    * (spider.py:74-88): link/uri -> 31, link_unq/ftp -> 32, img -> 35. */
+  val q27Sql: String =
+    """SELECT doc_id, colorized FROM (VALUES
+      |  ('ftp://ftp0.test/pub/',
+      |   chr(27)||'[32m'||'stage1-x86.tar.bz2'||chr(27)||'[0m'),
+      |  ('http://testcases.example/page',
+      |   'intro prose'||chr(10)||
+      |   chr(27)||'[31m'||'http://1host/path'||chr(27)||'[0m'||chr(10)||
+      |   chr(27)||'[31m'||'http://1host/path'||chr(27)||'[0m'||chr(10)||
+      |   chr(27)||'[32m'||'13file.path'||chr(27)||'[0m'||chr(10)||
+      |   chr(27)||'[35m'||'http://img.example/i.jpg'||chr(27)||'[0m'||chr(10)||
+      |   'notftp.txt')
+      |) AS t(doc_id, colorized) ORDER BY doc_id""".stripMargin
+
   def q20MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Multimodal
     Multimodal.extractFeatures(Multimodal.synthesize(s, 120)).toDF

@@ -62,7 +62,10 @@ object SparkEntry {
     "q23_stream_window" -> (Queries.q23StreamWindow _),
     "q24_stream_first_seen" -> (Queries.q24StreamFirstSeen _),
     // winnowing (rolling-hash) document fingerprints
-    "q25_winnow_fingerprints" -> (Queries.q25WinnowFingerprints _))
+    "q25_winnow_fingerprints" -> (Queries.q25WinnowFingerprints _),
+    // display surface: P8 middle-ellipsis truncation, E7 ANSI colorize
+    "q26_url_display" -> (Queries.q26UrlDisplay _),
+    "q27_colorize" -> (Queries.q27Colorize _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -81,6 +84,8 @@ object SparkEntry {
     "q23_stream_window" -> Queries.q8Sql, // streaming complete == batch agg
     "q24_stream_first_seen" -> Queries.q24Sql,
     "q25_winnow_fingerprints" -> Queries.q25Sql,
+    "q26_url_display" -> Queries.q26Sql,
+    "q27_colorize" -> Queries.q27Sql,
     "q1_agg" -> Queries.q1Sql,
     "q2_join_revenue" -> Queries.q2Sql,
     "q3_topk_customers" -> Queries.q3Sql,

@@ -88,6 +88,7 @@ class CrawlEngine(
   // per-partition (rows, errors, bytes) of the wave's fetch batches (A4)
   private var wavePartStats: Map[Int, (Long, Long, Long)] = Map.empty
   private var lastWaveDiscovered: Long = 1L // seed queue is non-empty
+  private var resumedUnknownSize = false // resume: first wave's size unknown
   // true while every append to `seen` this wave came from the driver-local
   // rank path (the union tree is then all LocalRelation leaves — cheap to
   // analyze, nothing to recompute, so the per-wave truncation can wait
@@ -338,7 +339,35 @@ class CrawlEngine(
       sketch = SeenFilter.fromBytes(java.util.Base64.getDecoder.decode(b)))
     val ruleIdx = snap.meta("rule_idx").toInt
     val depth = snap.meta("depth").toInt
+    resumedUnknownSize = true
     crawlLoop(ruleIdx, depth, io.table(snap, "queue"), io.table(snap, "outer_queue"))
+  }
+
+  // ---- adaptive execution profile: a SMALL wave is pure driver/stage
+  // latency — AQE's per-stage re-optimization jobs and a wide shuffle
+  // fan-out cost more than they save (measured ~30% of fixture-crawl wall
+  // time), so waves at or below the driver-local rank threshold run with
+  // AQE off and a narrow shuffle; big waves get the session's settings
+  // back (AQE coalescing/skew handling is load-bearing at scale). Conf
+  // flips are session-scoped but the driver loop is the only planner
+  // while a crawl runs; originals are restored on every exit path.
+  private val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+  private val origParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+  private var tunedSmall = false
+  private def tuneForWaveSize(expectedRows: Long): Unit = {
+    val wantSmall = expectedRows <= SmallRankRows
+    if (wantSmall != tunedSmall) {
+      tunedSmall = wantSmall
+      if (wantSmall) {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+      } else restoreConf()
+    }
+  }
+  private def restoreConf(): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", origAqe)
+    spark.conf.set("spark.sql.shuffle.partitions", origParts)
+    tunedSmall = false
   }
 
   // main loop (spiderfetch.py:209-231). The reference's `while queue`
@@ -350,7 +379,8 @@ class CrawlEngine(
   // it from its first aggregation (no wave recorded), or — when a split
   // would destroy the evidence — pay a one-time probe job.
   private def crawlLoop(startRule: Int, startDepth: Int,
-                        startQueue: DataFrame, startOuter: DataFrame): CrawlTables = {
+                        startQueue: DataFrame, startOuter: DataFrame): CrawlTables =
+  try {
     var queue = startQueue
     var outer = startOuter
     var ruleIdx = startRule
@@ -389,7 +419,7 @@ class CrawlEngine(
       ruleIdx += 1
     }
     tables
-  }
+  } finally restoreConf()
 
   // split_queue (spiderfetch.py:192-207): two filtered projections, seq kept
   private def splitQueue(queue: DataFrame, lastRule: Boolean): (DataFrame, DataFrame) = {
@@ -427,6 +457,8 @@ class CrawlEngine(
     waveBytes = 0L
     waveAppendLocal = true
     wavePartStats = Map.empty
+    // lastWaveDiscovered = this queue's size (resume starts conservative)
+    tuneForWaveSize(if (resumedUnknownSize) Long.MaxValue else lastWaveDiscovered)
     val (admitted0, blocked) = Scheduler.robotsFilter(spark, queue, config.robots)
     // robots-empty crawls (the parity config) pay no admission job at all;
     // with robots on, the blocked count also disambiguates "queue empty"
@@ -486,6 +518,7 @@ class CrawlEngine(
     // per-partition lineage metrics (north rule): rows fetched, errors and
     // completed bytes per physical partition of the wave's fetch join (A4)
     lastWaveDiscovered = waveDiscovered
+    resumedUnknownSize = false
     val partRows = wavePartStats.toSeq.sortBy(_._1).map { case (pid, (n, e, b)) =>
       WaveMetrics(waveNo, ruleIdx, pid, n, n, e, 0L, b)
     }

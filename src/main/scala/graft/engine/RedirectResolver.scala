@@ -66,9 +66,10 @@ object RedirectResolver {
       candidates: DataFrame,
       /** min alias pos per url (for discovery suppression). */
       aliasMin: DataFrame,
-      persisted: Seq[DataFrame]) {
-    def unpersistAll(): Unit = persisted.foreach(_.unpersist())
-  }
+      /** Frames this analysis persisted — the engine registers them in
+        * its pin ledger and releases them once the wave's outputs are
+        * materialized (round-2 advice #1). */
+      persisted: Seq[DataFrame])
 
   /**
    * @param redirects     joined frontier rows with outcome REDIRECT

@@ -38,6 +38,33 @@ object Extract {
     when(span.getField("kind").isin(MediaKinds: _*), span.getField("media_ref"))
       .otherwise(span.getField("text"))
 
+  /**
+   * colorize_shell (`spider.py:106-123`, E7) re-expressed over the span
+   * model: the reference wraps every extractor match in an ANSI highlight
+   * colored by extractor id; here the rendered document (pieces joined by
+   * newline, the same rendering as FetchResume.contentOf) wraps each span
+   * findall WOULD extract (non-text kinds; ftp kinds only on ftp pages)
+   * in SGR color 31 + rank mod 6. One codegen'd expression, no UDF.
+   */
+  def colorizeShell(docId: Column, spans: Column): Column = {
+    import org.apache.spark.sql.functions.{array_join, coalesce, concat,
+      element_at, lit, pmod, transform, when}
+    val isFtpPage = schemeOf(docId) === "ftp"
+    val pieces = transform(spans, s => {
+      val body = when(s.getField("media_ref") =!= "", s.getField("media_ref"))
+        .otherwise(s.getField("text"))
+      val extracted = s.getField("kind") =!= "text" &&
+        (s.getField("kind") =!= "ftp" || isFtpPage)
+      val color = (lit(31) +
+        pmod(coalesce(element_at(rankMap, s.getField("kind")), lit(99)),
+          lit(6))).cast("string")
+      when(extracted,
+        concat(lit("\u001b["), color, lit("m"), body, lit("\u001b[0m")))
+        .otherwise(body)
+    })
+    array_join(pieces, "\n")
+  }
+
   /** Lowercased scheme of a URL column (urlsplit semantics: leading
     * letter + [letter digit +.-]* before ':'). */
   def schemeOf(url: Column): Column =

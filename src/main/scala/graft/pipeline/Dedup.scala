@@ -180,7 +180,12 @@ object Dedup {
           }
         }
       }.toDF("id", "sh", "sig", "bandkeys")
+    // EAGER materialization: five consumers (two bucket-join sides, two
+    // signature rejoins, two shingle rejoins) would otherwise race the
+    // cold cache and each evaluate the signature kernel concurrently —
+    // measured ~6x duplicated work on first run
     val sigs = withSig.persist()
+    sigs.count()
     val banded = capBuckets(
       sigs.select(col("id"), posexplode(col("bandkeys")).as(Seq("band", "bucket"))),
       Seq("band", "bucket"), "id", bucketCap)

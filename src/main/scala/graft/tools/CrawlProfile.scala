@@ -40,15 +40,23 @@ object CrawlProfile {
       }
     })
 
+    // optional: profile an arbitrary driver query instead of the crawl
+    // (args: 1 32 query <name> <sfDir>)
+    val queryMode = args.lift(2).contains("query")
+    def runOnce(): Long =
+      if (queryMode)
+        graft.SparkEntry.queries(args(3))(spark, args(4)).count()
+      else {
+        graft.Queries.crawlCacheClear()
+        graft.Queries.crawlSeen(spark, "unused").count()
+      }
     val t0 = System.nanoTime()
-    graft.Queries.crawlCacheClear()
-    val n = graft.Queries.crawlSeen(spark, "unused").count()
+    val n = runOnce()
     val sec = (System.nanoTime() - t0) / 1e9
     // run it a SECOND time (fresh crawl, warm JVM) — separates JIT/codegen
     // warmup from structural driver cost
     val t1 = System.nanoTime()
-    graft.Queries.crawlCacheClear()
-    graft.Queries.crawlSeen(spark, "unused").count()
+    runOnce()
     val sec2 = (System.nanoTime() - t1) / 1e9
     Thread.sleep(1000)
     import scala.jdk.CollectionConverters._

@@ -89,6 +89,29 @@ object UrlRewrite {
   def hostnameToFilename(host: String): String =
     host.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** truncate_url (`urlrewrite.py:50-57`, P8): middle-ellipsis display
+    * truncation — keep ceil((width-3)/2) head chars + "..." +
+    * floor((width-3)/2) tail chars when the URL exceeds `width`. */
+  def truncateUrl(width: Int, s: String): String =
+    if (s.length > width) {
+      val w = width - 3
+      val half = w / 2
+      s.substring(0, half + w % 2) + "..." + s.substring(s.length - half)
+    } else s
+
+  /** Column twin of truncateUrl (codegen'd; width is a plan literal). */
+  def truncateUrlCol(url: org.apache.spark.sql.Column, width: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val w = width - 3
+    val half = w / 2
+    val prefix = half + w % 2
+    when(length(url) > width,
+      concat(substring(url, 1, prefix), lit("..."),
+        substring(url, -half, half)))
+      .otherwise(url)
+  }
+
   private val DefaultPorts = Map("http" -> 80, "https" -> 443, "ftp" -> 21)
 
   /** North-rule canonical key: lowercase scheme (already) + host, strip

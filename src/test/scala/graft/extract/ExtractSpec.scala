@@ -82,4 +82,36 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.findallSeq(d) ==
       Seq(("link", "http://h/a"), ("img", "http://h/i.jpg")))
   }
+
+  test("colorize_shell (E7): extractor spans ANSI-wrapped by rank, ftp gated") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      CorpusDoc("http://h/p", Seq(
+        Span("text", "prose", "", 0),
+        Span("link", "http://h/a", "", 10),
+        Span("img", "", "http://h/i.jpg", 20),
+        Span("ftp", "f.txt", "", 30))),
+      CorpusDoc("ftp://h/pub/", Seq(Span("ftp", "f.txt", "", 0))))
+    val got = docs.toDS.toDF
+      .select(col("doc_id"),
+        Extract.colorizeShell(col("doc_id"), col("spans")).as("c"))
+      .orderBy("doc_id").as[(String, String)].collect.toSeq
+    val E = "\u001b"
+    // ftp page: ftp rank 7 -> 31 + 7%6 = 32
+    assert(got.head == ("ftp://h/pub/", s"$E[32mf.txt$E[0m"))
+    // http page: link rank 0 -> 31, img rank 4 -> 35, ftp NOT highlighted
+    assert(got(1) == ("http://h/p",
+      s"prose\n$E[31mhttp://h/a$E[0m\n$E[35mhttp://h/i.jpg$E[0m\nf.txt"))
+  }
+
+  test("truncate_url (P8): middle ellipsis, reference arithmetic") {
+    import graft.urlcanon.UrlRewrite.truncateUrl
+    // urlrewrite.py:50-57: w = width-3, head = w//2 + w%2, tail = w//2
+    assert(truncateUrl(10, "0123456789abcdef") == "0123...def")
+    assert(truncateUrl(10, "0123456789") == "0123456789") // == width: kept
+    assert(truncateUrl(11, "0123456789abcdef") == "0123...cdef")
+    assert(truncateUrl(30, "short") == "short")
+  }
 }
