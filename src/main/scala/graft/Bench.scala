@@ -282,6 +282,17 @@ object Bench {
       val (_, sec) = time { fn(spark, sfDir).count() }
       name -> sec
     }
+    // steady-state second pass for the two queries whose first run is
+    // dominated by one-time JIT/codegen of their kernels (irrelevant at
+    // the 100-TB design point where the same code runs for hours):
+    // crawl_seen re-runs the ENTIRE fixture crawl (cache cleared), q14
+    // recomputes signatures + joins — only the JVM stays warm
+    val steady = Seq("q14_minhash_pairs", "crawl_seen").map { name =>
+      if (name == "crawl_seen") graft.Queries.crawlCacheClear()
+      val fn = SparkEntry.queries(name)
+      val (_, sec) = time { fn(spark, sfDir).count() }
+      name -> sec
+    }
     val frontierN = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "2000000").toLong
     val (thrMain, thrChunk, survivors) = frontierThroughput(spark, frontierN)
     val (crawlThr, crawlSeenN) = crawlThroughput(spark,
@@ -321,15 +332,26 @@ object Bench {
          || query | sec |
          ||---|---|
          |""".stripMargin +
-      queryTimes.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n") + "\n"
+      queryTimes.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n") + "\n" +
+      """|
+         |Steady-state (second invocation, fresh data/crawl, warm JVM —
+         |first-run deltas are one-time JIT/codegen, irrelevant at the
+         |100-TB design point):
+         |
+         || query | sec |
+         ||---|---|
+         |""".stripMargin +
+      steady.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n") + "\n"
     Files.write(benchDir.resolve("BASELINE.md"), md.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
 
     val qs = (queryTimes ++ Seq(
       "frontier_dequeue_dedup_sec" -> (frontierN / thrMain)))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val steadyJson = steady
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier_urls_per_sec":${thrMain.toLong},"chunk_urls_per_sec":${thrChunk.toLong},"crawl_urls_per_sec":${crawlThr.toLong},"urls_per_sec_local2":${thr2.toLong},"urls_per_sec_local8":${thr8.toLong},"urls_per_sec_local32":${thr32.toLong},"scaling_efficiency_8_32":${f"$eta832%.3f"},"scaling_efficiency_2_8":${f"$eta%.3f"},"roofline_8":${roof8.toLong},"roofline_32":${roof32.toLong},"roofline_eta_8_32":${f"$roofEta832%.3f"},"normalized_eta_8_32":${f"$normEta832%.3f"}}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$steadyJson,"sf":"$sfDir","frontier_urls_per_sec":${thrMain.toLong},"chunk_urls_per_sec":${thrChunk.toLong},"crawl_urls_per_sec":${crawlThr.toLong},"urls_per_sec_local2":${thr2.toLong},"urls_per_sec_local8":${thr8.toLong},"urls_per_sec_local32":${thr32.toLong},"scaling_efficiency_8_32":${f"$eta832%.3f"},"scaling_efficiency_2_8":${f"$eta%.3f"},"roofline_8":${roof8.toLong},"roofline_32":${roof32.toLong},"roofline_eta_8_32":${f"$roofEta832%.3f"},"normalized_eta_8_32":${f"$normEta832%.3f"}}"""
     // the driver greps stdout, but an sbt launcher prefixes every line
     // with [info] and its JSON parse fails (round-2 BENCH "parsed": null)
     // — ALSO write the bare line to a file the harness can pick up
