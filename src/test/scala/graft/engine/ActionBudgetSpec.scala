@@ -61,6 +61,7 @@ class ActionBudgetSpec extends AnyFunSuite {
     // end-of-crawl fixed cost: 8 table checkpoints + the ord rank +
     // the final empty-queue probe
     val budget = waves * 6 + 12
+    info(s"$actions driver actions over $waves waves (budget $budget)")
     assert(actions <= budget,
       s"driver actions must stay within the per-batch budget: " +
         s"$actions actions for $waves waves (budget $budget)")

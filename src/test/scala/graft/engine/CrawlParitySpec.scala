@@ -203,4 +203,15 @@ class CrawlParitySpec extends AnyFunSuite {
       config = CrawlConfig(perHostBudget = Some(3)),
       docs = skewed, clue = "skew")
   }
+
+  test("politeness budget x in-fetch tries: chunked retries keep positions") {
+    // the interplay edge: under a per-host budget a temporal retry
+    // re-enters the PENDING set at its original discovery position
+    // (RefCrawler mirrors the engine's seq-ordered window), while tries=2
+    // shifts which fail_attempts survive which crawl-level call
+    assertParity(Seq(RecipeRule(spider = Some(".*"),
+      fetch = Some("(?i).*\\.(txt|bz2)$"), depth = 2)),
+      config = CrawlConfig(perHostBudget = Some(2), tries = 2),
+      clue = "budget-tries")
+  }
 }
