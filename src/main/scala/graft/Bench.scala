@@ -100,15 +100,17 @@ object Bench {
     import spark.implicits._
     def wave(): Long = {
       // the engine's own primitives: skew-safe politeness dequeue +
-      // URL canonicalization (the wave's CPU stage) + sketch-fronted
-      // exact dedup
+      // URL canonicalization (the wave's CPU stage, via the NATIVE
+      // CanonicalUrl expression — same kernel as the typed map but no
+      // object serialize/deserialize round-trip, stays inside whole-stage
+      // codegen) + sketch-fronted exact dedup
+      import org.apache.spark.sql.GraftColumnBridge
       val chunk = graft.engine.Scheduler.dequeueChunkOnly(
         frontier, budgetPerHost, saltBuckets = 16)
-      val canon = chunk.select("url", "host", "seq")
-        .as[(String, String, Long)]
-        .map { case (u, h, q) =>
-          (u, graft.urlcanon.UrlRewrite.canonicalUrl(u), h, q)
-        }.toDF("url", "canonicalUrl", "host", "seq")
+      val canon = chunk.select(col("url"),
+        GraftColumnBridge.column(graft.functions.CanonicalUrl(
+          GraftColumnBridge.expression(col("url")))).as("canonicalUrl"),
+        col("host"), col("seq"))
       SeenSet.filterNew(spark, canon, seen, "url", Some(sketch)).count()
     }
     val chunkRows = graft.engine.Scheduler
