@@ -800,15 +800,25 @@ class CrawlEngine(
       .select(col("parent_seq"), col("doc_id").as("parent_url"),
         col("extract_idx"), col("url").as("raw_url"))
 
-    // F1-F7: reference-exact rewrite, typed map (SURVEY §2.11)
+    // F1-F7: reference-exact rewrite via NATIVE codegen'd expressions —
+    // the same UrlRewrite kernels the round-2 typed flatMap called, minus
+    // the per-candidate object serialize/deserialize round-trip; the
+    // whole extract→rewrite→canonicalize→qualify pipeline is one
+    // WholeStageCodegen span (SURVEY §4.5 upgrade (1))
+    import org.apache.spark.sql.GraftColumnBridge
+    def native(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      GraftColumnBridge.column(e)
+    def expr(c: Column) = GraftColumnBridge.expression(c)
     val candidates = extracted
-      .as[(Long, String, Long, String)]
-      .flatMap { case (pseq, purl, idx, raw) =>
-        UrlRewrite.rewriteOne(purl, raw).map { u =>
-          CandidateRow(pseq, purl, idx, u,
-            UrlRewrite.canonicalUrl(u), UrlRewrite.canonicalHost(u))
-        }
-      }.toDF
+      .withColumn("url", native(graft.functions.RewriteUrl(
+        expr(col("parent_url")), expr(col("raw_url")))))
+      .filter(col("url").isNotNull) // rewrite dropped it (StopIteration)
+      .withColumn("canonicalUrl",
+        native(graft.functions.CanonicalUrl(expr(col("url")))))
+      .withColumn("host",
+        native(graft.functions.CanonicalHost(expr(col("url")))))
+      .select("parent_seq", "parent_url", "extract_idx", "url",
+        "canonicalUrl", "host")
 
     // §2.5 qualification: one projection over three mask predicates
     val hostOkCol: Column =
@@ -978,11 +988,6 @@ final class CrawlTables(
 /** Raw fetched-file log row; global ord + collision-safe names derived
   * at table-build time from the (batch_ord, seq) processing order. */
 final case class FetchedRaw(batch_ord: Long, seq: Long, wave: Int, url: String)
-
-/** Rewritten+canonicalized extraction candidate (engine-internal). */
-final case class CandidateRow(
-    parent_seq: Long, parent_url: String, extract_idx: Long,
-    url: String, canonicalUrl: String, host: String)
 
 /** Raw processed-log row — the crawl-ordering parity surface; the dense
   * global `ord` is ranked from (batch_ord, seq) at table-build time. */

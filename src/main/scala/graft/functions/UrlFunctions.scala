@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.urlcanon.{PyUrl, UrlRewrite}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,6 +30,11 @@ object UrlStatics {
     UTF8String.fromString(UrlRewrite.urlToFilename(url.toString))
   def urlPath(url: UTF8String): UTF8String =
     UTF8String.fromString(PyUrl.urlsplit(url.toString).path)
+  /** rewrite_one against an origin URL; null = dropped (fragment-only,
+    * unparseable — the reference's StopIteration analogue). */
+  def rewriteUrl(origin: UTF8String, raw: UTF8String): UTF8String =
+    UrlRewrite.rewriteOne(origin.toString, raw.toString)
+      .map(UTF8String.fromString).orNull
 }
 
 /** No lambda fields: `evalImpl` is an abstract METHOD so the expression
@@ -80,6 +85,30 @@ case class UrlPath(child: Expression) extends UrlStaticExpr {
     UrlStatics.urlPath(u)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "url_path"
+}
+
+/** Reference-exact URL rewrite as a codegen'd binary expression: the
+  * same `UrlRewrite.rewriteOne` kernel the typed map used, minus the
+  * object serialize/deserialize round-trip — the per-candidate rewrite is
+  * the crawl's hottest CPU stage at scale. NULL output = candidate
+  * dropped (the caller filters), so this produces nulls even for non-null
+  * inputs (custom isNull in codegen). */
+case class RewriteUrl(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rewrite_url"
+  override protected def nullSafeEval(origin: Any, raw: Any): Any =
+    UrlStatics.rewriteUrl(origin.asInstanceOf[UTF8String],
+      raw.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (o, r) => s"""
+      ${ev.value} = graft.functions.UrlStatics.rewriteUrl($o, $r);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 object UrlFunctions {

@@ -40,16 +40,22 @@ object CrawlProfile {
       }
     })
 
-    // optional: profile an arbitrary driver query instead of the crawl
-    // (args: 1 32 query <name> <sfDir>)
-    val queryMode = args.lift(2).contains("query")
-    def runOnce(): Long =
-      if (queryMode)
+    // optional: profile an arbitrary driver query (1 32 query <name>
+    // <sfDir>) or the synthetic-web crawl benchmark (1 32 crawl-bench
+    // [fanout]) instead of the fixture crawl
+    val mode = args.lift(2).getOrElse("fixture")
+    def runOnce(): Long = mode match {
+      case "query" =>
         graft.SparkEntry.queries(args(3))(spark, args(4)).count()
-      else {
+      case "crawl-bench" =>
+        val (thr, n) = graft.Bench.crawlThroughput(spark,
+          fanout = args.lift(3).map(_.toInt).getOrElse(100))
+        println(s"CRAWLBENCH urls_per_sec=${thr.toLong} seen=$n")
+        n
+      case _ =>
         graft.Queries.crawlCacheClear()
         graft.Queries.crawlSeen(spark, "unused").count()
-      }
+    }
     val t0 = System.nanoTime()
     val n = runOnce()
     val sec = (System.nanoTime() - t0) / 1e9

@@ -121,6 +121,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bloom_bank_contains"), s"expected the native probe:\n$p")
   }
 
+  test("rewrite expressions are native: no object round-trip, null drops") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val df = Seq(
+      ("http://h.test/a/", "c.html"),
+      ("http://h.test/a/", "#fragment-only"),
+      ("http://h.test/a/", "xhttp://h2/x"))
+      .toDF("origin", "raw")
+      .withColumn("url", GraftColumnBridge.column(graft.functions.RewriteUrl(
+        GraftColumnBridge.expression(col("origin")),
+        GraftColumnBridge.expression(col("raw")))))
+    val got = df.select("url").as[Option[String]].collect.toSeq
+    assert(got == Seq(Some("http://h.test/a/c.html"), None,
+      Some("http://h2/x")), s"rewrite results: $got")
+    val p = plan(df.filter(col("url").isNotNull))
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapElements"),
+      s"rewrite must not leave codegen via a typed map:\n$p")
+    assert(!p.contains("ScalaUDF"))
+  }
+
   test("no UDF in the sketch-BUILD aggregation: shard id is codegen'd") {
     import spark.implicits._
     val seen = spark.range(1000).select(
