@@ -193,6 +193,27 @@ object OracleGen {
     s"SELECT ${q(u)} AS url, $d::INT AS depth"
   }
 
+  /** G3: in/out neighbors of the seed, direction-tagged. */
+  def webRefsSql: String = {
+    val out = ref.edges.keys.toSeq.filter(_._1 == seedUrl).map(_._2)
+      .map(u => Seq(q("out"), q(u)))
+    val in = ref.edges.keys.toSeq.filter(_._2 == seedUrl).map(_._1)
+      .map(u => Seq(q("in"), q(u)))
+    values(out ++ in, Seq("dir", "url"), Map.empty, "dir, url")
+  }
+
+  /** G4: every URL in discovery order (the web dump). */
+  def webDumpSql: String = values(
+    ref.seen.map(r => Seq(r.seq.toString, q(r.url))),
+    Seq("seq", "url"), Map("seq" -> "BIGINT"), "seq")
+
+  /** G5: alias rows touching the probe URL. */
+  def webAliasesOfSql: String = values(
+    ref.aliases.filter(a =>
+      a._1 == Queries.AliasProbeUrl || a._2 == Queries.AliasProbeUrl)
+      .map { case (c, a, w) => Seq(q(c), q(a), w.toString) },
+    Seq("canonicalUrl", "aliasUrl", "wave"), Map("wave" -> "INT"), "aliasUrl")
+
   // --------------------------- data-dependent oracles (round-2 verdict #3)
 
   /**
@@ -268,5 +289,8 @@ object OracleGen {
     "web_multiple" -> webMultipleSql,
     "web_stats" -> webStatsSql,
     "web_trace" -> webTraceSql,
-    "web_deepest" -> webDeepestSql)
+    "web_deepest" -> webDeepestSql,
+    "web_refs" -> webRefsSql,
+    "web_dump" -> webDumpSql,
+    "web_aliases_of" -> webAliasesOfSql)
 }

@@ -122,6 +122,29 @@ object Queries {
     Seq((u, d)).toDF("url", "depth")
   }
 
+  /** G3 print_refs (`web.py:70-77`) on the driver surface: in/out
+    * neighbors of the seed URL, tagged by direction. */
+  def webRefs(s: SparkSession, dir: String): DataFrame = {
+    val seed = FixtureCorpus.seedUrl(fixtureParams)
+    val edges = fixtureCrawl(s).edges
+    GraphQueries.outRefs(edges, seed).select(lit("out").as("dir"), col("url"))
+      .unionByName(
+        GraphQueries.inRefs(edges, seed).select(lit("in").as("dir"), col("url")))
+      .orderBy("dir", "url")
+  }
+
+  /** G4 dump (`web.py:61-63`): every URL in discovery order. */
+  def webDump(s: SparkSession, dir: String): DataFrame =
+    fixtureCrawl(s).seen.orderBy("seq").select("seq", "url")
+
+  /** Probe URL for G5 (the fixture's alias group: redirect0 -> rtarget0). */
+  val AliasProbeUrl = "http://host0.test/d0/redirect0.html"
+
+  /** G5 aliases-of (`web.py:79-82`): the alias rows touching a URL. */
+  def webAliasesOf(s: SparkSession, dir: String): DataFrame =
+    GraphQueries.aliasesOf(fixtureCrawl(s).aliases, AliasProbeUrl)
+      .orderBy("aliasUrl")
+
   /** Standalone extraction (spider --dump shape, §3.3) over the reference's
     * 14 embedded testcases rendered as spans — golden-tested in sbt. */
   def extractTestcases(s: SparkSession, dir: String): DataFrame = {

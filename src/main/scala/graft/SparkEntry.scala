@@ -28,11 +28,14 @@ object SparkEntry {
     "crawl_fetched" -> (Queries.crawlFetched _),
     "extract_testcases" -> (Queries.extractTestcases _),
     "url_canon" -> (Queries.urlCanon _),
-    // web.py analytics (A2/A3/G1/G2)
+    // web.py analytics (A2/A3/G1-G5)
     "web_multiple" -> (Queries.webMultiple _),
     "web_stats" -> (Queries.webStats _),
     "web_trace" -> (Queries.webTrace _),
     "web_deepest" -> (Queries.webDeepest _),
+    "web_refs" -> (Queries.webRefs _),
+    "web_dump" -> (Queries.webDump _),
+    "web_aliases_of" -> (Queries.webAliasesOf _),
     // relational operators (DuckDB-oracled)
     "q1_agg" -> (Queries.q1Agg _),
     "q2_join_revenue" -> (Queries.q2JoinRevenue _),
