@@ -344,16 +344,21 @@ object Queries {
   def q10Quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(s.read.parquet(p(dir, "documents")))
       .select("doc_id", "n_tokens", "mean_word_len", "digit_ratio",
-        "space_ratio", "quality_score")
+        "space_ratio", "stopword_ratio", "quality_score")
       .orderBy("doc_id")
 
   val q10Sql: String =
     """SELECT doc_id, n_tokens, mean_word_len, digit_ratio, space_ratio,
+      |  stopword_ratio,
       |  round(least(n_tokens / 100.0, 1.0) * 0.5 +
       |        (1.0 - least(punct_ratio * 5, 1.0)) * 0.25 +
       |        (1.0 - least(digit_ratio * 5, 1.0)) * 0.25, 4) AS quality_score
       |FROM (
       |  SELECT doc_id,
+      |    round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as')))
+      |      / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4)
+      |      AS stopword_ratio,
       |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
       |    round((length(text) - (len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) - 1))
       |      / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::DOUBLE, 1.0), 4) AS mean_word_len,

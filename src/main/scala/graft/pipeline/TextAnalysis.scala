@@ -53,6 +53,19 @@ object TextAnalysis {
     }
   }
 
+  /** English stopword list for the quality stopword ratio (a fixed,
+    * deterministic set — both engines filter tokens against it). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are (lowercased) stopwords — high values
+    * indicate prose, near-zero values indicate boilerplate/code/tables. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    round(size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
+      .cast("double") / greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
   /** Quality-scoring features: length, word stats, char-class ratios. */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -62,6 +75,7 @@ object TextAnalysis {
     df
       .withColumn("n_chars_q", length(t).cast("long"))
       .withColumn("n_tokens", tokenCount(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
       .withColumn("mean_word_len",
         round((len - (nTok - 1)) / greatest(nTok, lit(1.0)), 4))
       .withColumn("punct_ratio",
