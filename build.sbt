@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout BARE — sbt's default LoggedOutput
+// prefixes every line with [info], which breaks the driver's JSON parse
+// of the Bench metrics line (round-3 verdict #2: BENCH "parsed": null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

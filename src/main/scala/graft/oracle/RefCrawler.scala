@@ -45,7 +45,15 @@ object RefCrawler {
       robotsBlocked: Vector[String],
       fetched: Vector[(String, String)],   // (url, collision-safe filename)
       // (wave, ruleIdx, frontierRows, errorRows, discoveredRows, bytesFetched)
-      waveTotals: Vector[(Int, Int, Long, Long, Long, Long)])
+      waveTotals: Vector[(Int, Int, Long, Long, Long, Long)],
+      // (wave, processedCalls, originCallErrors, originFetchBytes) —
+      // the layout-independent invariant of the engine's per-PARTITION
+      // lineage rows: summed over partitions they must equal these
+      // per-wave origin-record stats (calls = admitted + same-wave
+      // retries; errors/bytes from each record's FIRST fetch call only —
+      // redirect-chain hops are attributed to the totals row). The
+      // crawl_lineage driver oracle (round-3 verdict #6).
+      waveOriginStats: Vector[(Int, Long, Long, Long)])
 
   private sealed trait FetchOutcome
   private case object Success extends FetchOutcome
@@ -57,6 +65,13 @@ object RefCrawler {
   private case class RecordAborted() extends Exception
 
   private final case class Rec(url: String, mode: Int, retry: Boolean)
+
+  /** Rendered content length in Unicode CODE POINTS — the unit of the
+    * engine's contentLenCol (Spark length()) and of Python len(). */
+  private def contentCodePoints(d: CorpusDoc): Long = {
+    val c = graft.engine.FetchResume.contentOf(d)
+    c.codePointCount(0, c.length).toLong
+  }
 
   def run(
       corpus: Seq[CorpusDoc],
@@ -128,6 +143,13 @@ object RefCrawler {
 
     var fetchBytes = 0L
 
+    // origin-record stats (first fetch call of each processed record) —
+    // the engine's per-partition lineage rows carry exactly these
+    val waveOriginStats = Vector.newBuilder[(Int, Long, Long, Long)]
+    var processedCalls = 0L
+    var originErrors = 0L
+    var originBytes = 0L
+
     // One fetch CALL = up to `tries` launches (launch_w_tries,
     // fetch.py:650-664): launch j = attempt*tries + i fails temporally iff
     // j < fail_attempts; each launch logs a row; the call's outcome is the
@@ -170,8 +192,13 @@ object RefCrawler {
       if (nFails < tries)
         fetchLog += FetchLogEntry(url, mode, waveNo, code, base + nFails)
       if (code != ErrorCode.NONE) fetchLogErrors += 1
-      // completed fetches download the rendered content (fetch.py:443-453)
-      else fetchBytes += graft.engine.FetchResume.contentOf(d.get).length
+      // completed fetches download the rendered content (fetch.py:443-453).
+      // Unit: CODE POINTS — the engine's contentLenCol uses Spark length()
+      // (code points of the UTF8String), and Python len() counts code
+      // points too; Java String.length is UTF-16 units and disagrees on
+      // supplementary-plane text (round-3 advice #3; the fixture corpus
+      // carries non-BMP spans so drift here fails parity, not silence).
+      else fetchBytes += contentCodePoints(d.get)
       out
     }
 
@@ -182,8 +209,17 @@ object RefCrawler {
     def getUrl(rec: Rec, rule: RecipeRule): (String, Option[Int]) = {
       var cur = rec.url
       val attempt = if (rec.retry) 1 else 0
+      var firstCall = true
       while (true) {
-        fetch(cur, attempt, rec.mode) match {
+        val out = fetch(cur, attempt, rec.mode)
+        if (firstCall) {
+          firstCall = false
+          out match {
+            case Success => originBytes += contentCodePoints(docs(cur))
+            case _ => originErrors += 1 // Failed OR Redirected: outcome != NONE
+          }
+        }
+        out match {
           case Redirected(loc) =>
             val newRaw = PyUrl.urljoin(cur, loc) // redirect_internal (fetch.py:192)
             val newUrl = UrlRewrite.rewriteUrls(cur, Seq(newRaw)).headOption
@@ -239,6 +275,7 @@ object RefCrawler {
                    newqueue: mutable.ArrayBuffer[Rec],
                    retrySink: mutable.ArrayBuffer[Rec]): Unit = {
       processed += ProcessedRow(waveNo, rec.url, rec.mode, rec.retry)
+      processedCalls += 1
       try {
         val (finalUrl, error) = getUrl(rec, rule)
         if (error.exists(ErrorCode.isTemporal) && !rec.retry)
@@ -264,6 +301,9 @@ object RefCrawler {
       waveNo += 1
       val errorsBefore = fetchLogErrors
       val bytesBefore = fetchBytes
+      val callsBefore = processedCalls
+      val originErrorsBefore = originErrors
+      val originBytesBefore = originBytes
       val newqueue = mutable.ArrayBuffer.empty[Rec]
       val admitted = queue.filter { r =>
         val ok = robotsAllows(r.url)
@@ -304,6 +344,9 @@ object RefCrawler {
       waveTotals += ((waveNo, ruleIdx, admitted.length.toLong,
         fetchLogErrors - errorsBefore, newqueue.length.toLong,
         fetchBytes - bytesBefore))
+      if (processedCalls > callsBefore)
+        waveOriginStats += ((waveNo, processedCalls - callsBefore,
+          originErrors - originErrorsBefore, originBytes - originBytesBefore))
       newqueue.toSeq
     }
 
@@ -351,6 +394,6 @@ object RefCrawler {
     CrawlResult(
       seen.result(), processed.result(), dump.result(),
       edges.toMap, aliasRows.result(), fetchLog.result(), robotsBlocked.result(),
-      fetched, waveTotals.result())
+      fetched, waveTotals.result(), waveOriginStats.result())
   }
 }

@@ -51,11 +51,32 @@ object Similarity {
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
+  /** md5-derived hyperplanes — SQL-REPLAYABLE (the q28 oracle rebuilds
+    * them in DuckDB): component (i, j) = h / 2^59 - 1.0 ∈ [-1, 1) where
+    * h = the first 15 hex digits of md5("seed:i:j") as an integer. md5 is
+    * identical everywhere; 15 hex digits (60 bits) fit a signed long, and
+    * the int→double conversion + power-of-two scale are IEEE-exact, so
+    * both engines produce bit-identical doubles. A symmetric (uniform)
+    * projection is a valid SRP family like the gaussian one. */
+  def md5Planes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dim) { (i, j) =>
+      val hex = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
+    }
+  }
+
   /** Add an LSH `bucket` column: packed sign bits of dot(v, plane_i). */
   def withHyperplaneBucket(df: DataFrame, vecCol: String, bits: Int,
-                           dim: Int, seed: Long): DataFrame = {
-    val planes = hyperplanes(bits, dim, seed)
-    val bucket = (0 until bits).map { i =>
+                           dim: Int, seed: Long): DataFrame =
+    withPlaneBucket(df, vecCol, hyperplanes(bits, dim, seed))
+
+  /** Bucket column from EXPLICIT planes (shared by the gaussian and the
+    * SQL-replayable md5 generators). */
+  def withPlaneBucket(df: DataFrame, vecCol: String,
+                      planes: Array[Array[Double]]): DataFrame = {
+    val bucket = planes.indices.map { i =>
       val plane = typedLit(planes(i).toSeq)
       when(dot(col(vecCol).cast("array<double>"), plane) >= 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -65,25 +86,34 @@ object Similarity {
 
   /** ANN top-k: probe the query's bucket plus `multiprobe` single-bit
     * flips, exact cosine within candidates. Recall grows with probes.
-    * bits <= 0 (the default) scales the signature width ~log2(n) — one
-    * count job — so expected bucket occupancy stays O(1) as the table
-    * grows (round-2 verdict #4: a fixed bits=8 leaves 10^7-row buckets at
-    * the 10^10 design point); pass bits explicitly to pin it. */
+    * bits <= 0 (the default) scales the signature width ~log2(n) so
+    * expected bucket occupancy stays O(1) as the table grows (round-2
+    * verdict #4: a fixed bits=8 leaves 10^7-row buckets at the 10^10
+    * design point); `n` supplies the row count from table metadata
+    * (parquet footers / Iceberg manifest), n <= 0 falls back to one count
+    * job (round-3 verdict #4). Pass bits explicitly to pin.
+    * `hashPlanes = true` draws the hyperplanes from the md5-derived
+    * generator (SQL-replayable — the q28 oracle) instead of
+    * java.util.Random gaussians; both are valid SRP projections. */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, bits: Int = 0, seed: Long = 7L,
-              multiprobe: Int = 8): DataFrame = {
+              multiprobe: Int = 8, n: Long = -1L,
+              hashPlanes: Boolean = false): DataFrame = {
     val bits0 = if (bits > 0) bits
-      else math.max(8, (math.log(embeddings.count().toDouble + 1) /
-        math.log(2)).ceil.toInt + 1)
+      else {
+        val n0 = if (n >= 0) n else embeddings.count()
+        math.max(8, (math.log(n0.toDouble + 1) / math.log(2)).ceil.toInt + 1)
+      }
     val dim = query.length
-    val planes = hyperplanes(bits0, dim, seed)
+    val planes = if (hashPlanes) md5Planes(bits0, dim, seed)
+      else hyperplanes(bits0, dim, seed)
     val qBucket = (0 until bits0).map { i =>
       val d = planes(i).zip(query).map { case (p, x) => p * x }.sum
       if (d >= 0) 1L << i else 0L
     }.sum
     val probes = qBucket +: (0 until math.min(multiprobe, bits0))
       .map(i => qBucket ^ (1L << i))
-    val bucketed = withHyperplaneBucket(embeddings, vecCol, bits0, dim, seed)
+    val bucketed = withPlaneBucket(embeddings, vecCol, planes)
     val q = typedLit(query.map(_.toDouble))
     bucketed
       .filter(col("bucket").isin(probes: _*))
@@ -98,14 +128,51 @@ object Similarity {
 
   /** Deterministic seed centroids: the first k vectors by id. */
   def sampledCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-                       k: Int): Array[Seq[Double]] =
+                       k: Int): Array[Array[Double]] =
     embeddings.orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0))
+      .collect().map(_.getSeq[Double](0).toArray)
 
   /** Half-up rounding to 6 dp — shared by the Scala and SQL twins so
     * cross-engine centroid reproduction is exact. */
   @inline def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Nearest (max-inner-product) centroid index; strict `>` keeps the
+    * LOWEST index on ties — the same tie-break as the previous expression
+    * formulation and the DuckDB oracle's `ORDER BY dot DESC, cell ASC`.
+    * In-order multiply-add, so the doubles are bit-identical to
+    * `aggregate(zip_with(v, c, _*_), 0.0, _+_)` and to DuckDB's
+    * list_inner_product. */
+  private[pipeline] def nearestCell(v: Array[Double],
+                                    cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      var d = 0.0
+      var j = 0
+      val m = math.min(c.length, v.length)
+      while (j < m) { d += v(j) * c(j); j += 1 }
+      if (d > bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  private def toDoubles(sv: Seq[Any]): Array[Double] = {
+    val v = new Array[Double](sv.length)
+    var j = 0
+    sv.foreach { x =>
+      v(j) = x match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case n: java.lang.Number => n.doubleValue()
+      }
+      j += 1
+    }
+    v
+  }
 
   /**
    * Lloyd-refined centroids (k-means with deterministic seeds — the
@@ -114,29 +181,59 @@ object Similarity {
    * are rounded to 6 dp each pass and empty cells keep their previous
    * centroid, so the index is exactly reproducible from (data, k, iters)
    * on any engine — the DuckDB oracle rebuilds it in SQL.
-   * Scale shape: each pass is one scan + one (cell, dim)-keyed partial
-   * aggregation (k*dim rows to the driver), the standard distributed
-   * Lloyd step.
+   *
+   * Scale shape (round-3 verdict #1): each pass is one scan with the
+   * centroids as a BROADCAST variable; the Lloyd means reduce
+   * distributively — per-partition partial (cell → sum-vector, count)
+   * maps, merged by a cell-keyed typed reduce (partial aggregation), so
+   * only `cells` compact (sum-array, count) rows reach the driver — not
+   * cells × dim Rows, and nothing about the PLAN grows with `cells`.
    */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 2): Array[Seq[Double]] = {
+                      k: Int, iters: Int = 2): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     var cents = sampledCentroids(embeddings, idCol, vecCol, k)
     val dim = cents.headOption.map(_.length).getOrElse(0)
+    val vecs = embeddings.select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]]
     (0 until iters).foreach { _ =>
-      val assigned = withIvfCell(
-        embeddings.select(col(vecCol).as("v")), "v", cents)
-      val means = assigned
-        .select(col("cell"),
-          posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = vecs.mapPartitions { it =>
+        val cs = bc.value
+        val sums = scala.collection.mutable.LongMap.empty[(Array[Double], Long)]
+        it.foreach { sv =>
+          val v = sv.toArray
+          val cell = nearestCell(v, cs)
+          val e = sums.getOrElse(cell.toLong, (new Array[Double](v.length), 0L))
+          var j = 0
+          while (j < v.length) { e._1(j) += v(j); j += 1 }
+          sums(cell.toLong) = (e._1, e._2 + 1)
+        }
+        sums.iterator.map { case (cell, (s, n)) =>
+          (cell.toInt, s.toSeq, n)
+        }
+      }
+      val merged = partials
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._2.toArray
+          val t = b._2
+          var j = 0
+          while (j < s.length) { s(j) += t(j); j += 1 }
+          (a._1, s.toSeq, a._3 + b._3)
+        }
+        .map(_._2)
         .collect()
-      val byCell = means.groupBy(_.getInt(0))
+      bc.unpersist(false)
+      val byCell = merged.map(r => r._1 -> r).toMap
       cents = cents.zipWithIndex.map { case (prev, i) =>
         byCell.get(i) match {
-          case Some(rows) =>
+          case Some((_, s, n)) =>
             val arr = new Array[Double](dim)
-            rows.foreach(r => arr(r.getInt(1)) = round6(r.getDouble(2)))
-            arr.toSeq
+            var j = 0
+            while (j < dim) { arr(j) = round6(s(j) / n); j += 1 }
+            arr
           case None => prev
         }
       }
@@ -145,34 +242,56 @@ object Similarity {
   }
 
   /** Assign each vector to its nearest (max-dot) centroid — an IVF-Flat
-    * index as a plain column; deterministic lowest-index tie-break. At
-    * scale: `repartition(cell)` + parquet partitioning makes the probe a
-    * partition-pruned scan. */
+    * index as a plain column. The centroid table rides a BROADCAST
+    * variable into a typed mapPartitions kernel (SURVEY §2.11 typed-map
+    * policy), NOT the plan: the previous formulation embedded one
+    * `struct(dot(...))` child per cell in a literal `array(...)`, which
+    * at the engine's own cells = ⌈√n⌉ sizing is a 10^5-child Catalyst
+    * expression at the 10^10 design point — codegen/constant-pool blowup
+    * and O(cells·dim) bytes serialized per task (round-3 verdict #1).
+    * Plan and codegen size are now O(1) in `cells` (PlanSpec gate).
+    * At scale: `repartition(cell)` + parquet partitioning makes the probe
+    * a partition-pruned scan. */
   def withIvfCell(df: DataFrame, vecCol: String,
-                  centroids: Array[Seq[Double]]): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dot(col(vecCol).cast("array<double>"), typedLit(c)).as("d"),
-        lit(-i).as("negidx"))
-    }
-    df.withColumn("cell", -array_max(array(scored: _*)).getField("negidx"))
+                  centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val schema = df.schema
+    val vi = schema.fieldIndex(vecCol)
+    val outSchema = schema.add("cell",
+      org.apache.spark.sql.types.IntegerType, nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val cs = bc.value
+      it.map { r =>
+        val v = toDoubles(r.getSeq[Any](vi))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nearestCell(v, cs))
+      }
+    }(enc)
   }
 
   /** IVF ANN top-k: probe the nprobe nearest cells, exact cosine within.
     * Expected scan fraction = nprobe / cells.
     *
-    * cells/nprobe <= 0 (the defaults) scale with the table — one count
-    * job: cells = max(16, ceil(√n)) (the standard IVF sizing: per-cell
-    * occupancy ~√n, so probe cost and centroid-scan cost balance; a fixed
-    * cells=16 leaves 6×10^8-row cells at the 10^10 design point — round-2
-    * verdict #4), nprobe = min(cells, ceil(√cells)+4). The q17 DuckDB
-    * oracle computes the SAME formulas in SQL, so the rebuilt index stays
-    * bit-identical. Pass explicit values to pin. */
+    * cells/nprobe <= 0 (the defaults) scale with the table: cells =
+    * max(16, ceil(√n)) (the standard IVF sizing: per-cell occupancy ~√n,
+    * so probe cost and centroid-scan cost balance; a fixed cells=16
+    * leaves 6×10^8-row cells at the 10^10 design point — round-2 verdict
+    * #4), nprobe = min(cells, ceil(√cells)+4). `n` supplies the row count
+    * from table metadata (parquet footers / Iceberg manifest — see
+    * tableio.ParquetStats); pass n <= 0 to fall back to one count job
+    * (round-3 verdict #4: the per-call count() was a full extra scan per
+    * ANN query at 100 TB). The q17 DuckDB oracle computes the SAME knob
+    * formulas in SQL, so the rebuilt index stays bit-identical. Pass
+    * explicit cells/nprobe to pin. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, cells: Int = 0,
-              nprobe: Int = 0, iters: Int = 2): DataFrame = {
-    val n = if (cells <= 0 || nprobe <= 0) embeddings.count() else 0L
+              nprobe: Int = 0, iters: Int = 2, n: Long = -1L): DataFrame = {
+    val n0 = if (cells <= 0 || nprobe <= 0) {
+      if (n >= 0) n else embeddings.count()
+    } else 0L
     val cells0 = if (cells > 0) cells
-      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      else math.max(16, math.ceil(math.sqrt(n0.toDouble)).toInt)
     val nprobe0 = if (nprobe > 0) nprobe
       else math.min(cells0, math.ceil(math.sqrt(cells0.toDouble)).toInt + 4)
     val cents = kmeansCentroids(embeddings, idCol, vecCol, cells0, iters)

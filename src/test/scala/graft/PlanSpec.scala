@@ -173,6 +173,97 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF plan/codegen size is O(1) in cells: centroids ride a broadcast, not the plan") {
+    // round-3 verdict #1: the old formulation embedded one struct(dot(..))
+    // child per cell in a literal array(...) — a 10^5-child Catalyst
+    // expression at the engine's own cells = ceil(sqrt(n)) sizing on the
+    // 10^10 design point. Gate: quadrupling cells must not grow the plan,
+    // and no literal array in the plan may exceed the vector dim.
+    import spark.implicits._
+    val dim = 8
+    val emb = spark.range(400).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        j => pmod(col("id") * j, lit(97)).cast("float") / lit(97f)).as("embedding"))
+      .cache()
+    emb.count()
+    val q = Seq.fill(dim)(0.1f)
+    def planOf(cells: Int) = graft.pipeline.Similarity.ivfTopK(
+      emb, "vec_id", "embedding", q, 5, cells = cells, nprobe = 4, iters = 1)
+      .queryExecution.optimizedPlan
+    def nodes(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p.collect { case op =>
+        op.expressions.map(e => e.collect { case _ => 1 }.size).sum
+      }.sum
+    def maxLitArray(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p.collect { case op =>
+        op.expressions.flatMap(_.collect {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+            l.value match {
+              case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+                ad.numElements()
+              case _ => 0
+            }
+        })
+      }.flatten.maxOption.getOrElse(0)
+    val p64 = planOf(64)
+    val p256 = planOf(256)
+    val (n64, n256) = (nodes(p64), nodes(p256))
+    info(s"expression nodes: cells=64 -> $n64, cells=256 -> $n256")
+    assert(n256 - n64 <= 32,
+      s"plan must not grow with cells: $n64 -> $n256\n$p256")
+    assert(maxLitArray(p256) <= dim,
+      s"no literal array beyond the query vector (dim $dim): ${maxLitArray(p256)}")
+    emb.unpersist()
+  }
+
+  test("ANN knob sizing reads table metadata, not a count() scan") {
+    // round-3 verdict #4: ivfTopK/lshTopK ran a full count() per
+    // invocation to size cells/bits. With n supplied (parquet footers /
+    // manifest), building the lshTopK plan runs ZERO jobs and ivfTopK
+    // runs exactly one fewer action than the count() fallback.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    def countActions(body: => Unit): Int = {
+      val execIds = scala.collection.concurrent.TrieMap.empty[String, Unit]
+      val rddJobs = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          val id = j.properties.getProperty("spark.sql.execution.id")
+          if (id == null) rddJobs.incrementAndGet() else execIds.put(id, ())
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1000) } // listener bus is async
+      finally spark.sparkContext.removeSparkListener(l)
+      execIds.size + rddJobs.get
+    }
+    import spark.implicits._
+    val path = s"$sf/embeddings.parquet"
+    val emb = spark.read.parquet(path)
+    val q = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
+    val n = graft.tableio.ParquetStats.rowCount(spark, path)
+    assert(n > 0)
+    val lshWithN = countActions {
+      graft.pipeline.Similarity.lshTopK(emb, "vec_id", "embedding", q, 5,
+        n = n, hashPlanes = true)
+    }
+    assert(lshWithN == 0, s"lshTopK with metadata n ran $lshWithN jobs")
+    val lshWithout = countActions {
+      graft.pipeline.Similarity.lshTopK(emb, "vec_id", "embedding", q, 5)
+    }
+    assert(lshWithout == 1, s"count() fallback should be exactly one job: $lshWithout")
+    val ivfWithN = countActions {
+      graft.pipeline.Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5,
+        iters = 1, n = n)
+    }
+    val ivfWithout = countActions {
+      graft.pipeline.Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5,
+        iters = 1)
+    }
+    info(s"ivf actions: with n = $ivfWithN, count fallback = $ivfWithout")
+    assert(ivfWithout == ivfWithN + 1,
+      s"metadata n must save exactly the count scan: $ivfWithN vs $ivfWithout")
+  }
+
   test("no UDF on the robots admission path") {
     import spark.implicits._
     val queue = spark.range(100).select(

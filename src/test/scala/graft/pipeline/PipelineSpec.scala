@@ -171,6 +171,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(approx.nonEmpty && approx.head._1 == 0L) // self lands in own bucket
   }
 
+  test("md5 hyperplanes: DuckDB-pinned value, range, determinism (q28 oracle contract)") {
+    // ('0x'||substr(md5('7:0:0'),1,15))::BIGINT::DOUBLE / 2^59 - 1.0
+    // evaluated in DuckDB = -0.8649490801517901; the Scala generator must
+    // produce the SAME double or the q28 oracle replay drifts.
+    val p = Similarity.md5Planes(2, 3, 7L)
+    assert(p(0)(0) == -0.8649490801517901, s"got ${p(0)(0)}")
+    assert(p.flatten.forall(v => v >= -1.0 && v < 1.0))
+    assert(Similarity.md5Planes(2, 3, 7L).map(_.toSeq).toSeq ==
+      p.map(_.toSeq).toSeq)
+    // distinct components (md5 of distinct inputs)
+    assert(p.flatten.distinct.length == 6)
+  }
+
+  test("lshTopK with md5 planes (q28 path): self lands in its own bucket") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
+    val n = graft.tableio.ParquetStats.rowCount(spark, s"$sf/embeddings.parquet")
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
+      n = n, hashPlanes = true).as[(Long, Double)].collect.toSeq
+    assert(approx.nonEmpty && approx.head._1 == 0L)
+    assert(approx.map(_._2) == approx.map(_._2).sorted.reverse)
+  }
+
   test("embedding near-dup via LSH buckets finds planted duplicate vector") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val v0 = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
