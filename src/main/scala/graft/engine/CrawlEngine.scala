@@ -108,6 +108,39 @@ class CrawlEngine(
   }
   private val CompactWaves = 8
 
+  // ---- incremental snapshot commits (Iceberg append model): per table,
+  // the DELTA accumulated since the last commit — commitWave writes ONLY
+  // these and the new manifest references the previous snapshot's files,
+  // so per-wave commit cost is O(wave's rows), not O(crawl so far) (the
+  // round-3 full rewrite was O(waves × total) write amplification).
+  // Tracked only in checkpointed mode: in-memory crawls never reset the
+  // delta plans, which would otherwise grow unbounded with depth.
+  private var deltas: Map[String, DataFrame] = Map.empty
+  private var lastSnap: Option[graft.tableio.Snapshot] = None
+  /** Route a table append into its delta; returns `rows` for chaining. */
+  private def appendDelta(name: String, rows: DataFrame): DataFrame = {
+    if (checkpoint.isDefined)
+      deltas = deltas.updated(name,
+        deltas.get(name).map(_.unionByName(rows)).getOrElse(rows))
+    rows
+  }
+  /** Empty-schema frames per snapshot table (delta of an untouched
+    * table; also the schema carrier for a still-empty table's first
+    * commit). */
+  private def emptyTableOf(name: String): DataFrame = name match {
+    case "seen" => spark.emptyDataset[Seen].toDF
+    case "processed" => spark.emptyDataset[ProcessedRow].toDF
+    case "dump" => spark.emptyDataset[DumpRow].toDF
+    case "edges" => spark.emptyDataset[Edge].toDF
+    case "aliases" => spark.emptyDataset[Alias].toDF
+    case "fetch_log" => spark.emptyDataset[FetchLogEntry].toDF
+    case "robots_blocked" => spark.emptyDataset[RobotsBlockedRow].toDF
+    case "metrics" => spark.emptyDataset[WaveMetrics].toDF
+    case "fetched" => spark.emptyDataset[FetchedRaw].toDF
+  }
+  private val AppendTables = Seq("seen", "processed", "dump", "edges",
+    "aliases", "fetch_log", "robots_blocked", "metrics", "fetched")
+
   private def tables: CrawlTables = {
     // LAZY per-table materialization: each base table localCheckpoints on
     // first ACCESS (downstream consumers collect repeatedly), so a caller
@@ -309,6 +342,10 @@ class CrawlEngine(
     waveNo = 0
     if (useSketch)
       sketch.addOne(seedUrl, UrlRewrite.canonicalHost(seedUrl))
+    // the seed row is pre-first-commit content: it IS the first delta
+    deltas = Map.empty
+    lastSnap = None
+    appendDelta("seen", seen)
     val queue0 = Seq(frontierRow(seedUrl, Mode.SPIDER, 0, 0L)).toDF
     // the seed queue's size IS known (1 row): the first wave may use the
     // small-wave execution profile
@@ -340,6 +377,9 @@ class CrawlEngine(
       sketch = SeenFilter.fromBytes(java.util.Base64.getDecoder.decode(b)))
     val ruleIdx = snap.meta("rule_idx").toInt
     val depth = snap.meta("depth").toInt
+    // incremental commits append onto the resumed snapshot's file lists
+    deltas = Map.empty
+    lastSnap = Some(snap)
     // resumed queue size unknown: first wave runs the big-wave profile
     crawlLoop(ruleIdx, depth, io.table(snap, "queue"), io.table(snap, "outer_queue"),
       startKnown = false)
@@ -481,8 +521,8 @@ class CrawlEngine(
       else {
         val n = blocked.count()
         if (n > 0)
-          robotsBlocked = robotsBlocked.unionByName(
-            blocked.select(lit(waveNo).as("wave"), col("url"), col("seq")))
+          robotsBlocked = robotsBlocked.unionByName(appendDelta("robots_blocked",
+            blocked.select(lit(waveNo).as("wave"), col("url"), col("seq"))))
         n
       }
 
@@ -535,7 +575,8 @@ class CrawlEngine(
     }
     val totalRow = WaveMetrics(waveNo, ruleIdx, -1, frontierRows, frontierRows,
       waveErrorCount, waveDiscovered, waveBytes)
-    metrics = metrics.unionByName((partRows :+ totalRow).toDF)
+    metrics = metrics.unionByName(
+      appendDelta("metrics", (partRows :+ totalRow).toDF))
 
     Some(discovered)
   }
@@ -618,9 +659,9 @@ class CrawlEngine(
     // ---- processed log (the crawl-ordering parity surface): recorded
     // lazily under the (batch_ord, seq) total order; the dense global
     // `ord` is ranked once at tables() — no per-batch ranking actions
-    processed = processed.unionByName(
+    processed = processed.unionByName(appendDelta("processed",
       joined.select(lit(batchOrd).as("batch_ord"), col("seq"),
-        lit(waveNo).as("wave"), col("url"), col("mode"), col("retry")))
+        lit(waveNo).as("wave"), col("url"), col("mode"), col("retry"))))
 
     // ---- fetch log: every LAUNCH of every record (in-fetch TRIES retries
     // expand to one row per temporal launch, fetch.py:650-664) + each
@@ -636,30 +677,30 @@ class CrawlEngine(
           col("to_fail").as("fail_attempts")), tries))
       case None => originLog
     }
-    fetchLog = fetchLog.unionByName(logAll)
+    fetchLog = fetchLog.unionByName(appendDelta("fetch_log", logAll))
 
     // ---- S5 fetched-file sink: FETCH-mode records move their file to a
     // collision-safe final name (spiderfetch.py:163-165); redirected
     // fetches land under the chain's FINAL url, dup-aborted records don't
-    fetched = fetched.unionByName(
+    fetched = fetched.unionByName(appendDelta("fetched",
       joined.filter(col("mode") === Mode.FETCH &&
           col("outcome") =!= ErrorCode.REDIRECT)
         .select(lit(batchOrd).as("batch_ord"), col("seq"),
-          lit(waveNo).as("wave"), col("url")))
+          lit(waveNo).as("wave"), col("url"))))
     analysis.foreach { a =>
-      fetched = fetched.unionByName(
+      fetched = fetched.unionByName(appendDelta("fetched",
         a.finals.filter(col("mode") === Mode.FETCH && !col("aborted"))
           .select(lit(batchOrd).as("batch_ord"), col("seq"),
-            lit(waveNo).as("wave"), col("final_url").as("url")))
+            lit(waveNo).as("wave"), col("final_url").as("url"))))
     }
     batchOrd += 1
 
     // ---- edges: every matched url, seen or not, self-loops excluded
     // (web.py:44-50)
-    edges = edges.unionByName(
+    edges = edges.unionByName(appendDelta("edges",
       allCands.filter(col("url") =!= col("parent_url"))
         .select(col("parent_url").as("src"), col("url").as("dst"),
-          lit(waveNo).as("wave")))
+          lit(waveNo).as("wave"))))
 
     // ---- discoveries: O4 first-wins within the batch, J1 exact dedup vs
     // seen (sketch-fronted), then alias suppression (a url alias'd at pos
@@ -717,9 +758,9 @@ class CrawlEngine(
     if (rk.localRows.isEmpty) waveAppendLocal = false
     seqCounter += nNew
 
-    seen = seen.unionByName(ranked.select(col("url"),
+    seen = seen.unionByName(appendDelta("seen", ranked.select(col("url"),
       col("host").as("canonicalHost"), lit(waveNo).as("wave"),
-      col("new_seq").as("seq")))
+      col("new_seq").as("seq"))))
     if (useSketch && nNew > 0) rk.localRows match {
       case Some(rows) =>
         // the rank already collected the rows — fold them into the bank
@@ -749,14 +790,14 @@ class CrawlEngine(
     }
 
     analysis.foreach { a =>
-      aliases = aliases.unionByName(a.validHops.select(
+      aliases = aliases.unionByName(appendDelta("aliases", a.validHops.select(
         col("origin_url").as("canonicalUrl"), col("alias_url").as("aliasUrl"),
-        lit(waveNo).as("wave")))
+        lit(waveNo).as("wave"))))
     }
 
-    dumped = dumped.unionByName(
+    dumped = dumped.unionByName(appendDelta("dump",
       ranked.filter(col("m_dump"))
-        .select(col("new_seq").as("seq"), lit(waveNo).as("wave"), col("url")))
+        .select(col("new_seq").as("seq"), lit(waveNo).as("wave"), col("url"))))
 
     val discovered = ranked
       .filter(col("m_fetch") || col("m_spider"))
@@ -854,6 +895,7 @@ class CrawlEngine(
                          queue: DataFrame, outer: DataFrame): Unit = {
     checkpoint match {
       case Some(io) =>
+        import graft.tableio.TableWrite
         val meta = Map(
           "rule_idx" -> ruleIdx.toString, "depth" -> depth.toString,
           "wave" -> waveNo.toString, "seq_counter" -> seqCounter.toString,
@@ -861,14 +903,41 @@ class CrawlEngine(
           "processed_rows" -> processedTotal.toString) ++
           sketch.serialized.map(b => "bloom" ->
             java.util.Base64.getEncoder.encodeToString(b))
-        val snap = io.commit(meta, Map(
+        // APPEND commits (Iceberg model): only this wave's deltas are
+        // written; the manifest references the previous snapshot's files.
+        // Per-wave commit cost is O(wave), not O(crawl so far). Every
+        // CompactWaves-th commit is a COMPACTION (full rewrite, fresh
+        // file list) so manifests and per-table file counts stay bounded
+        // by the window, not the crawl depth — amortized O(total/window)
+        // per wave, the standard Iceberg rewrite-data-files maintenance.
+        val compact = waveNo % CompactWaves == 0
+        def prevOf(name: String) = lastSnap.flatMap(_.tables.get(name))
+          .map(t => (t.files, t.rows)).getOrElse((Nil, 0L))
+        val fullOf: Map[String, DataFrame] = Map(
           "seen" -> seen, "processed" -> processed, "dump" -> dumped,
           "edges" -> edges, "aliases" -> aliases, "fetch_log" -> fetchLog,
           "robots_blocked" -> robotsBlocked, "metrics" -> metrics,
-          "fetched" -> fetched, "queue" -> queue, "outer_queue" -> outer,
-          // S2: byte-range fetch-state table — a restarted session feeds
-          // this back via CrawlConfig.resumeState
-          "fetch_state" -> FetchResume.stateOf(spark, fetched, corpusN)))
+          "fetched" -> fetched)
+        val appendWrites = AppendTables.map { name =>
+          if (compact) name -> TableWrite(fullOf(name))
+          else {
+            val (pf, pr) = prevOf(name)
+            name -> TableWrite(deltas.getOrElse(name, emptyTableOf(name)), pf, pr)
+          }
+        }.toMap
+        // S2 fetch-state rows derive per fetched url (append-only too):
+        // only the wave's newly fetched urls get state rows this commit
+        val stateWrite =
+          if (compact) TableWrite(FetchResume.stateOf(spark, fetched, corpusN))
+          else {
+            val (sf, sr) = prevOf("fetch_state")
+            TableWrite(FetchResume.stateOf(spark,
+              deltas.getOrElse("fetched", emptyTableOf("fetched")), corpusN), sf, sr)
+          }
+        val snap = io.commitWrites(meta, appendWrites ++ Map(
+          // the frontier queues change wholly each wave: full writes
+          "queue" -> TableWrite(queue), "outer_queue" -> TableWrite(outer),
+          "fetch_state" -> stateWrite))
         // reload: truncates lineage, pins state to the snapshot
         seen = io.table(snap, "seen"); processed = io.table(snap, "processed")
         dumped = io.table(snap, "dump"); edges = io.table(snap, "edges")
@@ -876,6 +945,8 @@ class CrawlEngine(
         robotsBlocked = io.table(snap, "robots_blocked")
         metrics = io.table(snap, "metrics")
         fetched = io.table(snap, "fetched")
+        deltas = Map.empty
+        lastSnap = Some(snap)
         // the commit wrote (= materialized) every consumer of this wave's
         // cached frames; release them before the next wave
         releasePins()

@@ -20,10 +20,24 @@ import java.nio.charset.StandardCharsets
  *   base/v{N}/manifest.json            -- meta + per-table/per-file lineage
  *   base/_latest                       -- current snapshot id (atomic swap)
  */
+/** One data file of a table. `name` is the path RELATIVE TO THE TABLE
+  * BASE DIR (e.g. "v3/seen/part-...parquet") so a snapshot can reference
+  * files written by EARLIER snapshots — the Iceberg append model. */
 final case class FileLineage(name: String, bytes: Long)
 final case class TableLineage(rows: Long, files: Seq[FileLineage])
 final case class Snapshot(id: Long, meta: Map[String, String],
                           tables: Map[String, TableLineage], path: String)
+
+/** One table's contribution to a commit. A FULL write (`prevFiles` empty,
+  * the default) replaces the table with `df`. An APPEND write carries the
+  * previous snapshot's file list + row count: only `df` (the DELTA since
+  * that snapshot) is written, and the new manifest references old + new
+  * files — per-wave commit cost is then O(wave), not O(crawl so far)
+  * (round-4: the full rewrite was O(waves × total) write amplification,
+  * exactly what Iceberg manifests exist to avoid). */
+final case class TableWrite(df: DataFrame,
+                            prevFiles: Seq[FileLineage] = Nil,
+                            prevRows: Long = 0L)
 
 class TableIO(baseDir: String, spark: SparkSession) {
 
@@ -43,32 +57,52 @@ class TableIO(baseDir: String, spark: SparkSession) {
     }
   }
 
-  /** Atomic commit: tables + meta -> new snapshot; returns snapshot id. */
-  def commit(meta: Map[String, String], tables: Map[String, DataFrame]): Snapshot = {
+  private def footerRows(p: Path): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, spark.sparkContext.hadoopConfiguration))
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Convenience: full-write commit of every table. */
+  def commit(meta: Map[String, String], tables: Map[String, DataFrame]): Snapshot =
+    commitWrites(meta, tables.map { case (n, df) => n -> TableWrite(df) })
+
+  /**
+   * Atomic commit: each TableWrite's df is written under `v{N}/{table}/`;
+   * the manifest's file list is prevFiles ++ the new files (append model
+   * — older snapshots' data files are referenced, never rewritten or
+   * copied). Row counts come from the parquet FOOTERS on the driver (no
+   * scan job) and accumulate onto prevRows — write-time stats, as an
+   * Iceberg manifest carries them. Zero-row delta files are dropped from
+   * the lineage (and disk) so file lists stay O(written data), EXCEPT
+   * that a table with no files at all keeps one empty file as the schema
+   * carrier. Returns the committed snapshot.
+   */
+  def commitWrites(meta: Map[String, String],
+                   tables: Map[String, TableWrite]): Snapshot = {
     val id = latestId.getOrElse(-1L) + 1L
     val tmp = new Path(baseDir, s"_tmp_v$id")
     val fin = new Path(baseDir, s"v$id")
     fs.delete(tmp, true)
     fs.mkdirs(tmp)
 
-    val lineage = tables.map { case (name, df) =>
+    val lineage = tables.map { case (name, w) =>
       val p = new Path(tmp, name)
-      df.write.mode("overwrite").parquet(p.toString)
-      val files = fs.listStatus(p).toSeq
+      w.df.write.mode("overwrite").parquet(p.toString)
+      val written = fs.listStatus(p).toSeq
         .filter(s => s.getPath.getName.startsWith("part-"))
-        .map(s => FileLineage(s.getPath.getName, s.getLen))
-      // row counts straight from the parquet FOOTERS on the driver — the
-      // write already recorded them; the round-2 version re-read every
-      // table with a spark.read...count() job (one extra scan action per
-      // table per snapshot on checkpointed crawls). This is what a real
-      // Iceberg commit does: manifests carry write-time stats.
-      val rows = files.map { f =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(p, f.name), spark.sparkContext.hadoopConfiguration))
-        try r.getRecordCount finally r.close()
-      }.sum
-      name -> TableLineage(rows, files)
+        .map(s => (s.getPath, s.getLen, footerRows(s.getPath)))
+      val (nonEmpty, empty) = written.partition(_._3 > 0)
+      val keep =
+        if (nonEmpty.isEmpty && w.prevFiles.isEmpty) written.take(1)
+        else nonEmpty
+      written.diff(keep).foreach(f => fs.delete(f._1, false))
+      val newFiles = keep.map { case (path, bytes, _) =>
+        FileLineage(s"v$id/$name/${path.getName}", bytes)
+      }
+      val newRows = keep.map(_._3).sum
+      name -> TableLineage(w.prevRows + newRows, w.prevFiles ++ newFiles)
     }
 
     writeString(new Path(tmp, "manifest.json"), manifestJson(id, meta, lineage))
@@ -91,8 +125,13 @@ class TableIO(baseDir: String, spark: SparkSession) {
     parseManifest(json, dir.toString)
   }
 
-  def table(snap: Snapshot, name: String): DataFrame =
-    spark.read.parquet(new Path(snap.path, name).toString)
+  /** Read a table from its manifest FILE LIST (files may span snapshots
+    * under the append model). */
+  def table(snap: Snapshot, name: String): DataFrame = {
+    val paths = snap.tables(name).files
+      .map(f => new Path(baseDir, f.name).toString)
+    spark.read.parquet(paths: _*)
+  }
 
   // --- tiny JSON codec (flat manifest; avoids extra deps in main) ---
 

@@ -133,6 +133,52 @@ class ResumeSpec extends AnyFunSuite {
     assert(m.filter(m("partitionId") === -1).count() == snap.meta("wave").toLong)
   }
 
+  test("incremental commits: appends span snapshots, rows accumulate, time travel intact") {
+    import graft.tableio.{TableIO, TableWrite}
+    val dir = tmpDir("incr")
+    val io = new TableIO(dir, spark)
+    val a = Seq((1L, "a")).toDF("id", "s")
+    val s0 = io.commitWrites(Map("k" -> "0"), Map("t" -> TableWrite(a)))
+    val p0 = s0.tables("t")
+    val s1 = io.commitWrites(Map("k" -> "1"),
+      Map("t" -> TableWrite(Seq((2L, "b")).toDF("id", "s"), p0.files, p0.rows)))
+    assert(s1.tables("t").rows == 2)
+    assert(s1.tables("t").files.exists(_.name.startsWith("v0/")),
+      "append must reference the previous snapshot's files")
+    assert(s1.tables("t").files.exists(_.name.startsWith("v1/")))
+    assert(io.table(s1, "t").as[(Long, String)].collect.toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // empty delta: zero-row files are dropped, rows/files carried forward
+    val p1 = s1.tables("t")
+    val s2 = io.commitWrites(Map("k" -> "2"),
+      Map("t" -> TableWrite(a.limit(0), p1.files, p1.rows)))
+    assert(s2.tables("t").rows == 2 &&
+      s2.tables("t").files.size == p1.files.size)
+    // time travel: the v0 manifest still reads only the original row
+    assert(io.table(io.read(0), "t").count() == 1)
+  }
+
+  test("wave commits write deltas, not full rewrites (table files span snapshots)") {
+    val dir = tmpDir("delta")
+    val io = new TableIO(dir, spark)
+    new CrawlEngine(spark, corpus.toDF, seed, rules,
+      checkpoint = Some(io)).run()
+    val snap = io.latest.get
+    // a full-rewrite-per-wave scheme would put every file under the LAST
+    // v-dir; the append model leaves earlier waves' rows in earlier v-dirs
+    val vdirs = snap.tables("processed").files.map(_.name.split("/").head)
+      .distinct
+    assert(vdirs.size > 1,
+      s"processed files should span snapshot dirs, got: $vdirs")
+    // and commits stay resumable/complete: checkpointed == in-memory run
+    val inMem = new CrawlEngine(spark, corpus.toDF, seed, rules).run()
+    val ck = io.table(snap, "seen").orderBy("seq")
+      .select("url", "wave").as[(String, Int)].collect.toSeq
+    val im = inMem.seen.orderBy("seq")
+      .select("url", "wave").as[(String, Int)].collect.toSeq
+    assert(ck == im, "checkpointed seen must equal in-memory seen")
+  }
+
   test("snapshots are versioned and time-travelable") {
     val dir = tmpDir("versions")
     val io = new TableIO(dir, spark)
