@@ -232,12 +232,30 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .filter(sigEst >= threshold - estEps)
       .select("id_a", "id_b")
+    // exact verify as a JVM kernel (SURVEY §2.11 typed-map policy): the
+    // Catalyst formulation (size(array_intersect) / size(array_union))
+    // materializes an intersection AND a union array per candidate pair —
+    // two hash passes plus two array builds over ~10^3-element shingle
+    // sets; the kernel counts the intersection in one pass with no
+    // intermediate arrays. Same integers, same double division, so the
+    // jaccard values (and the exact-oracle comparison) are bit-identical.
     val out = preFiltered
       .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (a, b, sa, sb) =>
+          val (small, large) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
+          val set = new java.util.HashSet[String](small.length * 2)
+          small.foreach(set.add)
+          var inter = 0
+          large.foreach(s => if (set.contains(s)) inter += 1)
+          val uni = sa.length + sb.length - inter
+          val j = if (uni == 0) 0.0 else inter.toDouble / uni
+          if (j >= threshold) Some((a, b, j)) else None
+        }
+      }.toDF("id_a", "id_b", "jaccard")
     // materialize the (small) result so `sigs` can be released NOW rather
     // than leaking until LRU eviction (round-2 verdict #8)
     val res = out.localCheckpoint(true)

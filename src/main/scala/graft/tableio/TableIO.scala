@@ -87,23 +87,34 @@ class TableIO(baseDir: String, spark: SparkSession) {
     fs.delete(tmp, true)
     fs.mkdirs(tmp)
 
-    val lineage = tables.map { case (name, w) =>
-      val p = new Path(tmp, name)
-      w.df.write.mode("overwrite").parquet(p.toString)
-      val written = fs.listStatus(p).toSeq
-        .filter(s => s.getPath.getName.startsWith("part-"))
-        .map(s => (s.getPath, s.getLen, footerRows(s.getPath)))
-      val (nonEmpty, empty) = written.partition(_._3 > 0)
-      val keep =
-        if (nonEmpty.isEmpty && w.prevFiles.isEmpty) written.take(1)
-        else nonEmpty
-      written.diff(keep).foreach(f => fs.delete(f._1, false))
-      val newFiles = keep.map { case (path, bytes, _) =>
-        FileLineage(s"v$id/$name/${path.getName}", bytes)
+    // per-table writes run CONCURRENTLY: a wave commit is a dozen mostly
+    // tiny delta writes whose cost is scheduling latency, not bytes —
+    // serial writes put 12 job round-trips on the wave's critical path.
+    // Spark job submission is thread-safe; lineage assembly stays
+    // deterministic because results keep the input ordering.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lineageF = tables.toSeq.map { case (name, w) =>
+      Future {
+        val p = new Path(tmp, name)
+        w.df.write.mode("overwrite").parquet(p.toString)
+        val written = fs.listStatus(p).toSeq
+          .filter(s => s.getPath.getName.startsWith("part-"))
+          .map(s => (s.getPath, s.getLen, footerRows(s.getPath)))
+        val nonEmpty = written.filter(_._3 > 0)
+        val keep =
+          if (nonEmpty.isEmpty && w.prevFiles.isEmpty) written.take(1)
+          else nonEmpty
+        written.diff(keep).foreach(f => fs.delete(f._1, false))
+        val newFiles = keep.map { case (path, bytes, _) =>
+          FileLineage(s"v$id/$name/${path.getName}", bytes)
+        }
+        val newRows = keep.map(_._3).sum
+        name -> TableLineage(w.prevRows + newRows, w.prevFiles ++ newFiles)
       }
-      val newRows = keep.map(_._3).sum
-      name -> TableLineage(w.prevRows + newRows, w.prevFiles ++ newFiles)
     }
+    val lineage = Await.result(Future.sequence(lineageF), Duration.Inf).toMap
 
     writeString(new Path(tmp, "manifest.json"), manifestJson(id, meta, lineage))
     fs.delete(fin, true)
