@@ -144,6 +144,51 @@ class TableIO(baseDir: String, spark: SparkSession) {
     spark.read.parquet(paths: _*)
   }
 
+  /**
+   * Iceberg-style snapshot expiry (expire_snapshots + the data-file
+   * sweep): keep the newest `keepLast` manifests; older snapshots stop
+   * being time-travelable and any data file NO KEPT MANIFEST references
+   * is deleted. Under the append model a file written by snapshot k is
+   * typically referenced by every later manifest until a compaction, so
+   * reachability is computed from the kept manifests' file lists — never
+   * from file age. Returns the number of deleted data files.
+   */
+  def expire(keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val last = latestId.getOrElse(return 0)
+    val firstKept = math.max(0L, last - keepLast + 1)
+    val referenced = (firstKept to last)
+      .flatMap(id => read(id).tables.values.flatMap(_.files.map(_.name)))
+      .toSet
+    var deleted = 0
+    (0L until firstKept).foreach { id =>
+      val dir = new Path(baseDir, s"v$id")
+      if (fs.exists(dir)) {
+        if (!referenced.exists(_.startsWith(s"v$id/"))) {
+          // nothing in this snapshot dir is reachable: drop it wholesale
+          fs.listStatus(dir).filter(_.isDirectory).foreach { td =>
+            deleted += fs.listStatus(td.getPath).length
+          }
+          fs.delete(dir, true)
+        } else {
+          // some files still back kept snapshots: expire the manifest
+          // (no more time travel to this version) + unreferenced files
+          fs.delete(new Path(dir, "manifest.json"), false)
+          fs.listStatus(dir).filter(_.isDirectory).foreach { td =>
+            fs.listStatus(td.getPath).foreach { f =>
+              val rel = s"v$id/${td.getPath.getName}/${f.getPath.getName}"
+              if (!referenced.contains(rel)) {
+                fs.delete(f.getPath, false)
+                deleted += 1
+              }
+            }
+          }
+        }
+      }
+    }
+    deleted
+  }
+
   // --- tiny JSON codec (flat manifest; avoids extra deps in main) ---
 
   private def q(s: String): String =

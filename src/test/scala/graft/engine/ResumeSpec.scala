@@ -179,6 +179,34 @@ class ResumeSpec extends AnyFunSuite {
     assert(ck == im, "checkpointed seen must equal in-memory seen")
   }
 
+  test("snapshot expiry keeps reachable data files, drops the rest") {
+    import graft.tableio.{TableIO, TableWrite}
+    val dir = tmpDir("expire")
+    val io = new TableIO(dir, spark)
+    // v0: t append base + full-write q; v1: t append; v2: t append
+    var prev = io.commitWrites(Map.empty,
+      Map("t" -> TableWrite(Seq((1L, "a")).toDF("id", "s")),
+        "q" -> TableWrite(Seq(1L).toDF("x"))))
+    (2 to 3).foreach { i =>
+      val p = prev.tables("t")
+      prev = io.commitWrites(Map.empty,
+        Map("t" -> TableWrite(Seq((i.toLong, "z")).toDF("id", "s"),
+          p.files, p.rows),
+          "q" -> TableWrite(Seq(i.toLong).toDF("x"))))
+    }
+    val before = io.table(io.latest.get, "t")
+      .as[(Long, String)].collect.toSet
+    val deleted = io.expire(keepLast = 1)
+    // v0's t-file is still referenced by v2's manifest and must survive;
+    // v0/v1's full-write q files and v1's manifest are unreachable
+    assert(deleted > 0, "expiry should delete the unreachable queue files")
+    val after = io.table(io.latest.get, "t").as[(Long, String)].collect.toSet
+    assert(after == before, "latest snapshot must read identically")
+    assert(io.table(io.latest.get, "q").count() == 1)
+    // expired versions are no longer time-travelable
+    intercept[Exception](io.table(io.read(0), "q").count())
+  }
+
   test("snapshots are versioned and time-travelable") {
     val dir = tmpDir("versions")
     val io = new TableIO(dir, spark)
