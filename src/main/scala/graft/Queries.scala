@@ -951,6 +951,95 @@ object Queries {
       |WHERE b.bucket IN (SELECT bucket FROM probes)
       |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Repetition / boilerplate metrics (the Gopher-family quality gates,
+    * Rae et al. arXiv:2112.11446 §A1.1): duplicate-unigram fraction,
+    * longest same-token run (pure fold, no shuffle), top-bigram
+    * occupancy (one (doc, gram)-keyed partial aggregation — the scale
+    * shape: grams never leave their doc's key space), and the combined
+    * flag a filtering pipeline would drop on. */
+  def q29Repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+    val uni = base.select(col("doc_id"),
+      size(col("ts")).as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(col("ts"))).cast("double") /
+        greatest(size(col("ts")), lit(1)), 4).as("dup_unigram_frac"),
+      TextAnalysis.maxTokenRun(col("ts")).as("max_token_run"))
+    val bg = base
+      .select(col("doc_id"), explode(TextAnalysis.wordNgrams(col("ts"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("maxc"), sum("c").as("total"))
+    uni.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_unigram_frac"),
+        col("max_token_run"),
+        round(coalesce(col("maxc"), lit(0L)).cast("double") /
+          greatest(coalesce(col("total"), lit(0L)), lit(1L)), 4)
+          .as("top_bigram_frac"))
+      .withColumn("flagged",
+        col("max_token_run") >= 3 || col("top_bigram_frac") >= 0.08)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: same tokenization, gaps-and-islands for the max run,
+    * same 4-dp rounding and flag thresholds. */
+  val q29Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x->x<>'') AS ts
+      |  FROM documents),
+      |uni AS (
+      |  SELECT doc_id, len(ts)::INT AS n_tokens,
+      |    round(1.0 - len(list_distinct(ts))::DOUBLE / greatest(len(ts),1), 4) AS dup_unigram_frac
+      |  FROM base),
+      |toks AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts,1) AS i FROM base),
+      |runs AS (SELECT doc_id, t, i - row_number() OVER (PARTITION BY doc_id, t ORDER BY i) AS g FROM toks),
+      |maxrun AS (SELECT doc_id, max(c)::INT AS max_token_run FROM (
+      |  SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, t, g) GROUP BY doc_id),
+      |bigrams AS (
+      |  SELECT doc_id, unnest([array_to_string(ts[i:i+1],' ')
+      |    FOR i IN generate_series(1, greatest(len(ts)-1,0))]) AS bg
+      |  FROM base),
+      |topbg AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total FROM (
+      |  SELECT doc_id, count(*) AS c FROM bigrams GROUP BY doc_id, bg) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, dup_unigram_frac, max_token_run,
+      |  top_bigram_frac,
+      |  (max_token_run >= 3 OR top_bigram_frac >= 0.08) AS flagged
+      |FROM (
+      |  SELECT u.doc_id, u.n_tokens, u.dup_unigram_frac,
+      |    coalesce(m.max_token_run, 0) AS max_token_run,
+      |    round(coalesce(t.maxc, 0)::DOUBLE / greatest(coalesce(t.total, 0), 1), 4) AS top_bigram_frac
+      |  FROM uni u LEFT JOIN maxrun m USING (doc_id) LEFT JOIN topbg t USING (doc_id))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination detection (the n-gram collision check of
+    * GPT-3 appendix C / the decontamination step of training pipelines):
+    * docs with doc_id % 7 == 0 play the held-out benchmark; any OTHER
+    * doc sharing a word-5-gram is flagged with its hit count. Scale
+    * shape: the benchmark gram set is small by construction → broadcast
+    * join against the corpus gram stream; no shuffle of the corpus side. */
+  def q30Contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(TextAnalysis.wordNgrams(col("ts"), 5)).as("g"))
+    val bench = grams.filter(col("doc_id") % 7 === 0).select("g").distinct()
+    grams.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .select("doc_id", "g").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+      .orderBy("doc_id")
+  }
+
+  val q30Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x->x<>'') AS ts
+      |  FROM documents),
+      |grams AS (SELECT doc_id, unnest([array_to_string(ts[i:i+4],' ')
+      |  FOR i IN generate_series(1, greatest(len(ts)-4,0))]) AS g FROM base),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+      |SELECT doc_id, count(*)::BIGINT AS n_hit_grams FROM (
+      |  SELECT DISTINCT gr.doc_id, gr.g FROM grams gr JOIN bench USING (g)
+      |  WHERE gr.doc_id % 7 <> 0)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def q20MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Multimodal
     Multimodal.extractFeatures(Multimodal.synthesize(s, 120)).toDF

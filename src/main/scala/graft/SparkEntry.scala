@@ -70,7 +70,10 @@ object SparkEntry {
     "q26_url_display" -> (Queries.q26UrlDisplay _),
     "q27_colorize" -> (Queries.q27Colorize _),
     // SRP hyperplane-LSH ANN top-k (SQL-replayable md5 planes)
-    "q28_lsh_ann" -> (Queries.q28LshAnn _))
+    "q28_lsh_ann" -> (Queries.q28LshAnn _),
+    // training-data quality gates: repetition metrics + contamination
+    "q29_repetition" -> (Queries.q29Repetition _),
+    "q30_contamination" -> (Queries.q30Contamination _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -92,6 +95,8 @@ object SparkEntry {
     "q26_url_display" -> Queries.q26Sql,
     "q27_colorize" -> Queries.q27Sql,
     "q28_lsh_ann" -> Queries.q28Sql,
+    "q29_repetition" -> Queries.q29Sql,
+    "q30_contamination" -> Queries.q30Sql,
     "q1_agg" -> Queries.q1Sql,
     "q2_join_revenue" -> Queries.q2Sql,
     "q3_topk_customers" -> Queries.q3Sql,

@@ -53,6 +53,31 @@ object TextAnalysis {
     }
   }
 
+  /** Word n-grams in order, NOT deduped (occurrence counts matter for
+    * the repetition metrics); fewer than n tokens → empty. The DuckDB
+    * twin is a 1-based list comprehension over the same token array. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Longest consecutive run of the same token — the "same word repeated
+    * k times" repetition signal of quality-filter pipelines (Rae et al.,
+    * Gopher, arXiv:2112.11446 §A1.1 uses the families of repetition
+    * fractions this and the bigram fraction represent). One fold over
+    * the token array, no shuffle; empty → 0. */
+  def maxTokenRun(toks: Column): Column =
+    aggregate(toks,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** English stopword list for the quality stopword ratio (a fixed,
     * deterministic set — both engines filter tokens against it). */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",

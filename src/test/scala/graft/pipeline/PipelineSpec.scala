@@ -171,6 +171,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(approx.nonEmpty && approx.head._1 == 0L) // self lands in own bucket
   }
 
+  test("repetition metrics: max token run, n-grams, flag semantics") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d"),                  // no repetition
+      (2L, "spam spam spam spam end"),  // run of 4, heavy bigram
+      (3L, "x"),                        // single token: no bigrams
+      (4L, ""))                         // empty
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+    val runs = toks.select(col("doc_id"),
+      TextAnalysis.maxTokenRun(col("ts")).as("r"))
+      .as[(Long, Int)].collect.toMap
+    assert(runs == Map(1L -> 1, 2L -> 4, 3L -> 1, 4L -> 0))
+    val grams = toks.select(col("doc_id"),
+      TextAnalysis.wordNgrams(col("ts"), 2).as("g"))
+      .as[(Long, Seq[String])].collect.toMap
+    assert(grams(1L) == Seq("a b", "b c", "c d"))
+    assert(grams(2L).count(_ == "spam spam") == 3)
+    assert(grams(3L).isEmpty && grams(4L).isEmpty)
+  }
+
+  test("contamination join broadcasts the benchmark gram set") {
+    val p = graft.Queries.q30Contamination(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark grams must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("md5 hyperplanes: DuckDB-pinned value, range, determinism (q28 oracle contract)") {
     // ('0x'||substr(md5('7:0:0'),1,15))::BIGINT::DOUBLE / 2^59 - 1.0
     // evaluated in DuckDB = -0.8649490801517901; the Scala generator must
