@@ -813,6 +813,36 @@ object Queries {
       |    FROM events))
       |WHERE rn = 1 ORDER BY url""".stripMargin
 
+  /** §2.10 part 3: STREAM-STATIC enrichment join — the streaming events
+    * file source joined per micro-batch against the static `customer`
+    * dimension (broadcast), aggregated per market segment in complete
+    * mode; final table == the batch join+agg, which is the oracle. */
+  def q31StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(p(dir, "events")).schema
+    val streamDir = stagedStreamDir(p(dir, "events"))
+    val stream = s.readStream.schema(schema).parquet(streamDir)
+    val dim = s.read.parquet(p(dir, "customer"))
+      .select("c_custkey", "c_mktsegment")
+    val agg = graft.streaming.Streaming.enrichedSegmentStats(stream, dim)
+    val name = "q31_stream_enrich_result"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val ckpt = tempDirCleaned("graft-stream-ckpt-").toString
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("c_mktsegment")
+  }
+
+  val q31Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Winnowing fingerprints (SIGMOD'03 MOSS scheme) over a deterministic
     * doc sample — the rolling-hash document-fingerprinting operator of
     * the training-pipeline family, exploded for a row-exact oracle. */

@@ -64,6 +64,7 @@ object SparkEntry {
     // §2.10 streaming twins (real Structured Streaming runs)
     "q23_stream_window" -> (Queries.q23StreamWindow _),
     "q24_stream_first_seen" -> (Queries.q24StreamFirstSeen _),
+    "q31_stream_enrich" -> (Queries.q31StreamEnrich _),
     // winnowing (rolling-hash) document fingerprints
     "q25_winnow_fingerprints" -> (Queries.q25WinnowFingerprints _),
     // display surface: P8 middle-ellipsis truncation, E7 ANSI colorize
@@ -91,6 +92,7 @@ object SparkEntry {
     "q22_cuckoo_sketch" -> Queries.q22Sql,
     "q23_stream_window" -> Queries.q8Sql, // streaming complete == batch agg
     "q24_stream_first_seen" -> Queries.q24Sql,
+    "q31_stream_enrich" -> Queries.q31Sql,
     "q25_winnow_fingerprints" -> Queries.q25Sql,
     "q26_url_display" -> Queries.q26Sql,
     "q27_colorize" -> Queries.q27Sql,

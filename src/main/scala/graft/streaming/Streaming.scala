@@ -57,6 +57,21 @@ object Streaming {
       .flatMap(_.toSeq)
   }
 
+  /**
+   * Stream-static enrichment (§2.10, part 3): a streaming event source
+   * joined against a STATIC dimension table, then aggregated per
+   * dimension attribute. The static side re-plans per micro-batch (so a
+   * dimension refresh is picked up) and broadcasts when small — the
+   * standard enrichment topology of a live crawl/ingest pipeline
+   * (events ⨝ host-metadata). Complete-mode aggregation: the final
+   * table equals the batch join+agg, which is the DuckDB oracle.
+   */
+  def enrichedSegmentStats(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+
   /** Batch twin of firstSeenUrls (for test equivalence). */
   def firstSeenUrlsBatch(urls: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

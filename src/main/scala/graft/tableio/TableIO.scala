@@ -157,7 +157,11 @@ class TableIO(baseDir: String, spark: SparkSession) {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val last = latestId.getOrElse(return 0)
     val firstKept = math.max(0L, last - keepLast + 1)
+    // a kept id whose manifest a PREVIOUS (tighter) expire already
+    // dropped contributes nothing — reachability comes from manifests
+    // that still exist
     val referenced = (firstKept to last)
+      .filter(id => fs.exists(new Path(baseDir, s"v$id/manifest.json")))
       .flatMap(id => read(id).tables.values.flatMap(_.files.map(_.name)))
       .toSet
     var deleted = 0

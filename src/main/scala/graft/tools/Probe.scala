@@ -18,6 +18,22 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // PROBE_JOBS=1: per-job wall times — where does a latency-bound run
+    // actually spend its driver round-trips?
+    if (sys.env.contains("PROBE_JOBS")) {
+      val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts(j.jobId) = System.nanoTime()
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.remove(j.jobId).foreach { t0 =>
+              println(f"JOB ${j.jobId}%4d sec=${(System.nanoTime() - t0) / 1e9}%7.3f")
+            }
+        })
+    }
     (1 to n).foreach { i =>
       if (name.startsWith("crawl")) graft.Queries.crawlCacheClear()
       val t0 = System.nanoTime()

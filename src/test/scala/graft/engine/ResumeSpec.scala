@@ -205,6 +205,11 @@ class ResumeSpec extends AnyFunSuite {
     assert(io.table(io.latest.get, "q").count() == 1)
     // expired versions are no longer time-travelable
     intercept[Exception](io.table(io.read(0), "q").count())
+    // re-expiry with a WIDER window must not trip over manifests a
+    // previous tighter expire already dropped
+    assert(io.expire(keepLast = 3) == 0)
+    assert(io.table(io.latest.get, "t").as[(Long, String)].collect.toSet
+      == before)
   }
 
   test("snapshots are versioned and time-travelable") {
