@@ -179,6 +179,54 @@ class ResumeSpec extends AnyFunSuite {
     assert(ck == im, "checkpointed seen must equal in-memory seen")
   }
 
+  test("politeness budget x checkpoint x kill/resume matches the sequential oracle") {
+    // chunked waves append SEVERAL delta fragments per table per wave —
+    // the incremental-commit path ResumeSpec's unbudgeted cases miss
+    import graft.oracle.RefCrawler
+    val cfg = CrawlConfig(perHostBudget = Some(2))
+    val oracle = RefCrawler.run(corpus, seed, rules, config = cfg)
+    val ioDir = tmpDir("budget-resume")
+    new CrawlEngine(spark, corpus.toDF, seed, rules, config = cfg,
+      checkpoint = Some(new TableIO(ioDir, spark)),
+      stopAfterWaves = Some(2)).run()
+    val resumed = new CrawlEngine(spark, corpus.toDF, seed, rules, config = cfg,
+      checkpoint = Some(new TableIO(ioDir, spark))).resume()
+    val got = resumed.seen.orderBy("seq")
+      .select("url", "wave", "seq").as[(String, Int, Long)].collect.toSeq
+    assert(got == oracle.seen.map(s => (s.url, s.wave, s.seq)), "seen parity")
+    val gotProc = resumed.processed.orderBy("ord")
+      .select("wave", "url", "mode", "retry")
+      .as[(Int, String, Int, Boolean)].collect.toSeq
+    assert(gotProc == oracle.processed.map(p =>
+      (p.wave, p.url, p.mode, p.retry)), "processed parity")
+  }
+
+  test("deep crawls hit the compaction commit: file lists stay window-bounded") {
+    // a 12-hop chain = 13 waves; the 8th commit compacts (full rewrite),
+    // so the final manifest must reference nothing before v7 (wave 8's
+    // snapshot) and still read the complete, oracle-exact seen set
+    import graft.oracle.RefCrawler
+    val chain = (0 until 12).map { i =>
+      CorpusDoc(s"http://h0.test/c$i.html",
+        Seq(Span("link", s"http://h0.test/c${i + 1}.html", "", 0)))
+    }
+    val chainSeed = "http://h0.test/c0.html"
+    val chainRules = Seq(RecipeRule(spider = Some(".*"), depth = 20))
+    val io = new TableIO(tmpDir("compact"), spark)
+    val t = new CrawlEngine(spark, chain.toDF, chainSeed, chainRules,
+      checkpoint = Some(io)).run()
+    val oracle = RefCrawler.run(chain, chainSeed, chainRules)
+    val got = t.seen.orderBy("seq").select("url").as[String].collect.toSeq
+    assert(got == oracle.seen.map(_.url), "chain seen parity")
+    val snap = io.latest.get
+    val minVdir = snap.tables("seen").files
+      .map(_.name.split("/").head.drop(1).toInt).min
+    assert(minVdir >= 7,
+      s"compaction must reset the file list window; oldest ref v$minVdir")
+    val nWaves = snap.meta("wave").toInt
+    assert(nWaves >= 12, s"expected a deep crawl, got $nWaves waves")
+  }
+
   test("snapshot expiry keeps reachable data files, drops the rest") {
     import graft.tableio.{TableIO, TableWrite}
     val dir = tmpDir("expire")
