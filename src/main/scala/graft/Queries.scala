@@ -669,6 +669,40 @@ object Queries {
       |  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = dq.url)
       |ORDER BY seq""".stripMargin
 
+  /** O5's PRIORITY knob on the driver surface (q21 covers the FIFO
+    * parity configuration): per-host top-k dequeue under a computed
+    * non-FIFO priority — the shape of a recrawl scheduler ranking by
+    * page score. The priority is a deterministic pseudo-shuffle of seq,
+    * made collision-free by appending seq, so both engines rank
+    * identically; the Spark side runs the engine's salted two-phase
+    * window, the oracle the plain one-window formulation. */
+  def q32PriorityDequeue(s: SparkSession, dir: String): DataFrame = {
+    val n = 100000L
+    val frontier = s.range(n).select(
+      concat(lit("http://host"), pmod(col("id"), lit(97)),
+        lit(".test/p"), col("id"), lit(".html")).as("url"),
+      concat(lit("host"), pmod(col("id"), lit(97)), lit(".test")).as("host"),
+      col("id").as("seq"),
+      (pmod(col("id") * 2654435761L, lit(1000000007L)) * 1000000L + col("id"))
+        .as("prio"))
+    val (chunk, _) = graft.engine.Scheduler.dequeueChunk(
+      frontier, 20, priority = "prio", materializeIds = false)
+    chunk.select("url", "host", "seq", "prio").orderBy("seq")
+  }
+
+  val q32Sql: String =
+    """WITH frontier AS (
+      |  SELECT 'http://host' || (range % 97) || '.test/p' || range || '.html' AS url,
+      |         'host' || (range % 97) || '.test' AS host, range AS seq,
+      |         ((range * 2654435761) % 1000000007) * 1000000 + range AS prio
+      |  FROM range(100000)),
+      |dq AS (
+      |  SELECT url, host, seq, prio,
+      |         row_number() OVER (PARTITION BY host ORDER BY prio) AS rn
+      |  FROM frontier)
+      |SELECT url, host, seq, prio FROM dq WHERE rn <= 20
+      |ORDER BY seq""".stripMargin
+
   /** Distributed cuckoo-sketch build over the seen URLs (A5): one sketch
     * per host partition group, sizes reported (bytes column is the
     * serialized filter; the query returns its size for determinism). */

@@ -61,6 +61,7 @@ object SparkEntry {
     "q20_multimodal_features" -> (Queries.q20MultimodalFeatures _),
     "q21_frontier_dequeue" -> (Queries.q21FrontierDequeue _),
     "q22_cuckoo_sketch" -> (Queries.q22CuckooSketch _),
+    "q32_priority_dequeue" -> (Queries.q32PriorityDequeue _),
     // §2.10 streaming twins (real Structured Streaming runs)
     "q23_stream_window" -> (Queries.q23StreamWindow _),
     "q24_stream_first_seen" -> (Queries.q24StreamFirstSeen _),
@@ -113,5 +114,6 @@ object SparkEntry {
     "q12_exact_dedup" -> Queries.q12Sql,
     "q13_source_stats" -> Queries.q13Sql,
     "q16_embed_topk" -> Queries.q16Sql,
-    "q21_frontier_dequeue" -> Queries.q21Sql)
+    "q21_frontier_dequeue" -> Queries.q21Sql,
+    "q32_priority_dequeue" -> Queries.q32Sql)
 }
