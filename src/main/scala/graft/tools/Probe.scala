@@ -10,13 +10,20 @@ object Probe {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf experiments: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case _ => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // PROBE_JOBS=1: per-job wall times — where does a latency-bound run
     // actually spend its driver round-trips?
