@@ -877,6 +877,60 @@ object Queries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Event-time SESSIONIZATION via `session_window` (the dynamic-gap
+    * window family q8/q23's fixed buckets don't cover): sessions extend
+    * while consecutive events arrive within the gap and close at
+    * last_ts + gap. Spark's semantics break a session when the inter-
+    * event gap is >= the window gap (intervals [ts, ts+gap) no longer
+    * overlap) — the oracle's gaps-and-islands formulation uses >= to
+    * match exactly. */
+  def q33Sessions(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "events"))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("user_id") < 40)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("s_start"),
+        col("sw.end").cast("timestamp_ntz").as("s_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "s_start")
+
+  val q33Sql: String =
+    """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 40),
+      |m AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |  ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, min(ts) AS s_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+
+  /** Exact per-group quantiles (linear interpolation at rank p·(n−1) —
+    * Spark `percentile` ≡ DuckDB `quantile_cont`): corpus length
+    * distribution per source, the summary every dataset card carries.
+    * Exact percentile sorts within each group — the small-group /
+    * reporting baseline; a 100-TB profile over few groups switches to
+    * approx_percentile (t-digest), which no exact oracle can pin. */
+  def q34Quantiles(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+      .orderBy("source")
+
+  val q34Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+      |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+      |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Winnowing fingerprints (SIGMOD'03 MOSS scheme) over a deterministic
     * doc sample — the rolling-hash document-fingerprinting operator of
     * the training-pipeline family, exploded for a row-exact oracle. */

@@ -45,6 +45,8 @@ object SparkEntry {
     "q6_semi_join" -> (Queries.q6SemiJoin _),
     "q7_running_sum" -> (Queries.q7RunningSum _),
     "q8_time_bucket" -> (Queries.q8TimeBucket _),
+    "q33_sessions" -> (Queries.q33Sessions _),
+    "q34_quantiles" -> (Queries.q34Quantiles _),
     // text/training pipeline (DuckDB-oracled)
     "q9_tokens" -> (Queries.q9Tokens _),
     "q10_quality" -> (Queries.q10Quality _),
@@ -108,6 +110,8 @@ object SparkEntry {
     "q6_semi_join" -> Queries.q6Sql,
     "q7_running_sum" -> Queries.q7Sql,
     "q8_time_bucket" -> Queries.q8Sql,
+    "q33_sessions" -> Queries.q33Sql,
+    "q34_quantiles" -> Queries.q34Sql,
     "q9_tokens" -> Queries.q9Sql,
     "q10_quality" -> Queries.q10Sql,
     "q11_lang_id" -> Queries.q11Sql,
