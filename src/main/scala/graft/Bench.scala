@@ -338,8 +338,20 @@ object Bench {
     // 100-TB design point the same kernels/classes run for hours per
     // executor, so the post-warm figure is the honest per-query cost;
     // the "steady" second pass below remains as the cross-check.
-    SparkEntry.queries("q14_minhash_pairs")(spark, "/root/testdata/sf0.001")
-      .count()
+    // warm slice derives from sfDir (round-4 advice #3: a hardcoded
+    // /root/testdata/sf0.001 aborted Bench on hosts without it); a missing
+    // warm corpus degrades to an unwarmed run, never a crash.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").orElse {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile,
+        "sf0.001")
+      Seq(sibling.getPath, sfDir).find(d => new java.io.File(d).isDirectory)
+    }
+    warmDir.foreach { d =>
+      scala.util.Try(
+        SparkEntry.queries("q14_minhash_pairs")(spark, d).count()
+      ).failed.foreach(e =>
+        System.err.println(s"[bench] q14 warm pass skipped: $e"))
+    }
     val queryTimes = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val (_, sec) = time { fn(spark, sfDir).count() }

@@ -17,26 +17,39 @@ import org.apache.spark.sql.expressions.Window
  */
 object Scheduler {
 
-  /** robots.txt-style admission: longest matching path-prefix wins; no
-    * match => allowed. Robots is a small broadcast table (J-side). */
+  /** robots.txt admission (RFC 9309): the most specific (most-octets)
+    * matching pattern wins, Allow wins ties, no match => allowed — the SQL
+    * twin of Robots.decide. Robots is a small broadcast table (J-side);
+    * literal-prefix rules keep the codegen'd `startsWith` fast path and
+    * only rules with `*`/`$` take the regexp_like slow path (round-4
+    * verdict #2; rule patterns are pre-translated driver-side). */
   def robotsFilter(spark: SparkSession, queue: DataFrame,
                    robots: Seq[RobotsRule]): (DataFrame, DataFrame) = {
     if (robots.isEmpty) return (queue, queue.limit(0))
     import spark.implicits._
-    val robotsDf = robots.toDF("r_host", "r_prefix", "r_allow")
-    // codegen'd path extraction (round-1 verdict #9: no UDF on the
-    // admission path — UrlPath compiles to a static call)
+    val robotsDf = robots
+      .map(r => (r.host, r.pathPrefix, r.allow,
+        if (Robots.isPattern(r.pathPrefix)) Robots.toRegex(r.pathPrefix) else null))
+      .toDF("r_host", "r_prefix", "r_allow", "r_regex")
+    // codegen'd path?query extraction (round-1 verdict #9: no UDF on the
+    // admission path — UrlPathQuery compiles to a static call); robots
+    // patterns match against path-and-query per RFC 9309
     import org.apache.spark.sql.GraftColumnBridge
     val withPath = queue.withColumn("_path",
       GraftColumnBridge.column(
-        graft.functions.UrlPath(GraftColumnBridge.expression(col("url")))))
+        graft.functions.UrlPathQuery(GraftColumnBridge.expression(col("url")))))
+    val matchCond = when(col("r_regex").isNotNull,
+        regexp_like(col("_path"), col("r_regex")))
+      .otherwise(col("_path").startsWith(col("r_prefix")))
     val joined = withPath.join(
       broadcast(robotsDf),
-      col("host") === col("r_host") && col("_path").startsWith(col("r_prefix")),
+      col("host") === col("r_host") && matchCond,
       "left")
-    // longest matching prefix per row decides; ties impossible (distinct prefixes)
+    // most specific match decides; Allow wins equal-length ties (patterns
+    // themselves are distinct — parse dedupes), mirroring Robots.decide
     val w = Window.partitionBy(col("url"), col("seq"))
-      .orderBy(length(col("r_prefix")).desc_nulls_last)
+      .orderBy(length(col("r_prefix")).desc_nulls_last,
+        col("r_allow").desc_nulls_last)
     val decided = joined
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)

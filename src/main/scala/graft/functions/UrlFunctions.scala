@@ -30,6 +30,11 @@ object UrlStatics {
     UTF8String.fromString(UrlRewrite.urlToFilename(url.toString))
   def urlPath(url: UTF8String): UTF8String =
     UTF8String.fromString(PyUrl.urlsplit(url.toString).path)
+  /** path plus '?'+query when a query exists — the string robots.txt
+    * patterns match against (RFC 9309 / the reference matcher's
+    * `/fish.php?id=anything` examples). */
+  def urlPathQuery(url: UTF8String): UTF8String =
+    UTF8String.fromString(PyUrl.pathQuery(url.toString))
   /** rewrite_one against an origin URL; null = dropped (fragment-only,
     * unparseable — the reference's StopIteration analogue). */
   def rewriteUrl(origin: UTF8String, raw: UTF8String): UTF8String =
@@ -86,6 +91,13 @@ case class UrlPath(child: Expression) extends UrlStaticExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "url_path"
 }
+case class UrlPathQuery(child: Expression) extends UrlStaticExpr {
+  override def methodName: String = "urlPathQuery"
+  override protected def evalImpl(u: UTF8String): UTF8String =
+    UrlStatics.urlPathQuery(u)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_path_query"
+}
 
 /** Reference-exact URL rewrite as a codegen'd binary expression: the
   * same `UrlRewrite.rewriteOne` kernel the typed map used, minus the
@@ -125,5 +137,7 @@ object UrlFunctions {
       exprs => UrlFilename(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("url_path",
       exprs => UrlPath(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("url_path_query",
+      exprs => UrlPathQuery(exprs.head), "built-in")
   }
 }

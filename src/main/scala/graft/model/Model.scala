@@ -123,7 +123,10 @@ final case class CrawlConfig(
     resumeState: Seq[FetchStateRow] = Nil,
     tries: Int = 1)
 
-/** robots.txt-style rule: path prefix allow/deny per host. */
+/** robots.txt rule: RFC 9309 path pattern allow/deny per host. The
+  * `pathPrefix` field holds the (normalized) pattern — a literal prefix in
+  * the common case, with `*` wildcards and a final-`$` end anchor per
+  * §2.2.3 (see engine.Robots for matching + precedence). */
 final case class RobotsRule(host: String, pathPrefix: String, allow: Boolean)
 
 /** Per-wave, per-partition lineage/metrics row (north rule).

@@ -265,10 +265,10 @@ object RefCrawler {
 
     def robotsAllows(url: String): Boolean = {
       val host = UrlRewrite.canonicalHost(url)
-      val path = PyUrl.urlsplit(url).path
-      val matching = config.robots.filter(r => r.host == host && path.startsWith(r.pathPrefix))
-      if (matching.isEmpty) true
-      else matching.maxBy(_.pathPrefix.length).allow // longest prefix wins
+      val path = PyUrl.pathQuery(url)
+      // shared RFC 9309 decision (longest pattern wins, Allow wins ties)
+      // — the SAME function semantics Scheduler.robotsFilter runs in SQL
+      graft.engine.Robots.decide(config.robots.filter(_.host == host), path)
     }
 
     def processOne(rec: Rec, rule: RecipeRule,

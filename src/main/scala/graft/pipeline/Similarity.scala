@@ -160,14 +160,20 @@ object Similarity {
     best
   }
 
+  /** null element anywhere → null result (SQL semantics: the old
+    * cast('array<double>') + aggregate(zip_with(...)) formulation produced
+    * a null dot for such rows; the typed kernel must not crash on them —
+    * round-4 advice #4). Callers map a null array to the sentinel cell. */
   private def toDoubles(sv: Seq[Any]): Array[Double] = {
+    if (sv == null) return null
     val v = new Array[Double](sv.length)
     var j = 0
     sv.foreach { x =>
-      v(j) = x match {
-        case d: java.lang.Double => d.doubleValue()
-        case f: java.lang.Float => f.doubleValue()
-        case n: java.lang.Number => n.doubleValue()
+      x match {
+        case null => return null
+        case d: java.lang.Double => v(j) = d.doubleValue()
+        case f: java.lang.Float => v(j) = f.doubleValue()
+        case n: java.lang.Number => v(j) = n.doubleValue()
       }
       j += 1
     }
@@ -195,7 +201,11 @@ object Similarity {
     import spark.implicits._
     var cents = sampledCentroids(embeddings, idCol, vecCol, k)
     val dim = cents.headOption.map(_.length).getOrElse(0)
-    val vecs = embeddings.select(col(vecCol).cast("array<double>"))
+    // null rows / null elements drop out of the mean (SQL avg semantics);
+    // the typed Seq[Double] encoder cannot represent them anyway.
+    val vecs = embeddings.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && !array_contains(transform(col("v"),
+        x => x.isNull), lit(true)))
       .as[Seq[Double]]
     (0 until iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(cents)
@@ -264,8 +274,12 @@ object Similarity {
     df.mapPartitions { it =>
       val cs = bc.value
       it.map { r =>
-        val v = toDoubles(r.getSeq[Any](vi))
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nearestCell(v, cs))
+        // null vector / null element → sentinel cell -1 (never probed):
+        // mirrors the old expression's null-dot behavior where such rows
+        // matched no ORDER BY winner, instead of crashing the task.
+        val v = if (r.isNullAt(vi)) null else toDoubles(r.getSeq[Any](vi))
+        val cell = if (v == null) -1 else nearestCell(v, cs)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cell)
       }
     }(enc)
   }

@@ -64,7 +64,8 @@ object CrawlProfile {
     val t1 = System.nanoTime()
     runOnce()
     val sec2 = (System.nanoTime() - t1) / 1e9
-    Thread.sleep(1000)
+    org.apache.spark.GraftListenerBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
     import scala.jdk.CollectionConverters._
     val all = rows.asScala.toSeq.sortBy(_._1)
     val actions = all.map(_._2).distinct.size

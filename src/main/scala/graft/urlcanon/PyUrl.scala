@@ -229,6 +229,13 @@ object PyUrl {
   /** get_scheme (`urlrewrite.py:41-43`). */
   def getScheme(url: String): String = urlsplit(url).scheme
 
+  /** path plus '?'+query when a query exists — the robots.txt match
+    * target (RFC 9309 matches rules against the path-and-query). */
+  def pathQuery(url: String): String = {
+    val s = urlsplit(url)
+    if (s.query.nonEmpty) s.path + "?" + s.query else s.path
+  }
+
   /** Python os.path.dirname. */
   private[urlcanon] def dirname(path: String): String = {
     val i = path.lastIndexOf('/')

@@ -232,7 +232,11 @@ class PlanSpec extends AnyFunSuite {
         }
       }
       spark.sparkContext.addSparkListener(l)
-      try { body; Thread.sleep(1000) } // listener bus is async
+      // drain the async listener bus deterministically before reading the
+      // counters — a fixed sleep made the exact-count asserts flaky on a
+      // loaded host (round-4 advice #5)
+      try { body; org.apache.spark.GraftListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext, 30000L) }
       finally spark.sparkContext.removeSparkListener(l)
       execIds.size + rddJobs.get
     }

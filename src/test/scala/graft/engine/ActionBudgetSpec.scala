@@ -35,7 +35,8 @@ class ActionBudgetSpec extends AnyFunSuite {
       }
     }
     spark.sparkContext.addSparkListener(l)
-    try { body; Thread.sleep(1000) } // listener bus is async
+    try { body; org.apache.spark.GraftListenerBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext, 30000L) }
     finally spark.sparkContext.removeSparkListener(l)
     execIds.size + rddJobs.get
   }

@@ -120,6 +120,18 @@ class CrawlParitySpec extends AnyFunSuite {
       config = CrawlConfig(robots = robots), clue = "robots")
   }
 
+  test("robots wildcard/$ patterns: engine admission ≡ oracle (RFC 9309)") {
+    // mixes the regexp_like slow path ($-anchored, mid-pattern *) with a
+    // plain-prefix allow override on BOTH engines (round-4 verdict #2)
+    val robots = Seq(
+      RobotsRule("host1.test", "/d1/*1.html$", allow = false),
+      RobotsRule("host1.test", "/d1/page11", allow = true),
+      RobotsRule("host0.test", "/*plain", allow = false))
+    assertParity(Seq(RecipeRule(spider = Some(".*"),
+      fetch = Some("(?i).*\\.(txt|bz2)$"), depth = 3)),
+      config = CrawlConfig(robots = robots), clue = "robots-pattern")
+  }
+
   test("bloom-sketch path yields identical results (exactness never depends on sketch)") {
     assertParity(Seq(RecipeRule(spider = Some(".*"),
       fetch = Some("(?i).*\\.(txt|bz2)$"), depth = 3)),

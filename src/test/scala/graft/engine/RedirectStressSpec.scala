@@ -140,7 +140,8 @@ class RedirectStressSpec extends AnyFunSuite {
       override def onJobStart(j: SparkListenerJobStart): Unit = n.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(l)
-    try { body; Thread.sleep(1000) } // listener bus is async
+    try { body; org.apache.spark.GraftListenerBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext, 30000L) }
     finally spark.sparkContext.removeSparkListener(l)
     n.get
   }
