@@ -877,6 +877,84 @@ object Queries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** §2.10 part 4 (round-4 verdict #5): APPEND-mode watermarked streaming
+    * with real late data. Three staged files drive three micro-batches
+    * (maxFilesPerTrigger=1, mtime-ordered): batch 0 replays every event
+    * on time; batch 1 is a one-row on-time "bridge" (the max-ts event
+    * again — its window stays open, so it never reaches the output);
+    * batch 2 re-sends every 7th event 6 HOURS late — far past the 2h
+    * watermark batch 0 established, so the engine must DROP all of them
+    * before they reach state (`numRowsDroppedByWatermark`; gated in
+    * StreamingSpec). The bridge batch exists because Spark filters late
+    * rows against the PREVIOUS batch's watermark (SPARK-40925's
+    * late-events vs eviction split, measured on this engine): late rows
+    * arriving only one batch after the on-time data are admitted and
+    * immediately emitted on eviction; two batches after, they are
+    * dropped. Append emission: each window row appears exactly once,
+    * when the watermark passes its end (boundary measured: end <= wm
+    * emits); windows still open when the stream drains never emit. The
+    * oracle is therefore plain batch SQL: window-agg over the on-time
+    * rows, restricted to windows with end <= max(ts) - 2h — late rows
+    * contribute nothing (had any been admitted, re-opened windows would
+    * re-emit and break the hash, as the pre-bridge formulation did). */
+  @volatile var q35LastDropped: Long = -1L
+  def q35StreamLate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = s.read.parquet(p(dir, "events"))
+    val onTime = events.select(col("ts"), col("event_type"), col("value"))
+    val late = events.filter(pmod(col("event_id"), lit(7)) === 0)
+      .select((col("ts") - expr("INTERVAL 6 HOURS")).as("ts"),
+        col("event_type"), col("value"))
+    val streamDir = tempDirCleaned("graft-stream-late-")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = tempDirCleaned("graft-stream-stage-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime); ()
+    }
+    val bridge = events.orderBy(col("ts").desc, col("event_id")).limit(1)
+      .select(col("ts"), col("event_type"), col("value"))
+    val t0 = ((System.currentTimeMillis() / 1000) - 300) * 1000
+    stage(onTime, "0-ontime.parquet", t0)
+    stage(bridge, "1-bridge.parquet", t0 + 60000)
+    stage(late, "2-late.parquet", t0 + 120000)
+    val stream = s.readStream.schema(onTime.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = graft.streaming.Streaming.windowedEventCountsAppend(stream)
+      .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
+    val name = "q35_stream_late_result"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val ckpt = tempDirCleaned("graft-stream-ckpt-").toString
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(pr => System.err.println(
+        s"BATCH ${pr.batchId} in=${pr.numInputRows} " +
+          s"wm=${pr.eventTime.get("watermark")} " +
+          s"dropped=${pr.stateOperators.map(_.numRowsDroppedByWatermark).mkString(",")} " +
+          s"out=${Option(pr.sink).map(_.numOutputRows).getOrElse(-1L)}"))
+    q35LastDropped = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark)).sum
+    s.table(name).orderBy("w_start", "event_type")
+  }
+
+  val q35Sql: String =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events)
+      |SELECT date_trunc('hour', ts) AS w_start, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events, wm
+      |GROUP BY 1, 2, wm.wm
+      |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.wm
+      |ORDER BY 1, 2""".stripMargin
+
   /** Event-time SESSIONIZATION via `session_window` (the dynamic-gap
     * window family q8/q23's fixed buckets don't cover): sessions extend
     * while consecutive events arrive within the gap and close at
@@ -930,6 +1008,25 @@ object Queries {
       |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
       |  round(quantile_cont(n_chars, 0.99), 4) AS p99
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The 100-TB path for q34 (round-4 verdict #6): `approx_percentile`
+    * with accuracy B keeps a bounded sketch per group (single pass,
+    * mergeable partials, no per-group sort) and guarantees RANK error
+    * <= 1/B: each reported value is an actual element whose rank is
+    * within n/B of the target. No DuckDB oracle can pin it — the sketch
+    * (and therefore the chosen element) is engine-specific, so the gate
+    * is the rank-error bound itself (PipelineSpec: approx within the
+    * exact [p - 1/B, p + 1/B] quantile envelope at sf0.1), not a
+    * row-hash. Same shape/column names as q34 for drop-in use. */
+  def q34QuantilesApprox(s: SparkSession, dir: String,
+                         accuracy: Int = 10000): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"approx_percentile(n_chars, 0.5, $accuracy)").cast("double").as("p50"),
+        expr(s"approx_percentile(n_chars, 0.9, $accuracy)").cast("double").as("p90"),
+        expr(s"approx_percentile(n_chars, 0.99, $accuracy)").cast("double").as("p99"))
+      .orderBy("source")
 
   /** Winnowing fingerprints (SIGMOD'03 MOSS scheme) over a deterministic
     * doc sample — the rolling-hash document-fingerprinting operator of

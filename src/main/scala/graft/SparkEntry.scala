@@ -68,6 +68,7 @@ object SparkEntry {
     "q23_stream_window" -> (Queries.q23StreamWindow _),
     "q24_stream_first_seen" -> (Queries.q24StreamFirstSeen _),
     "q31_stream_enrich" -> (Queries.q31StreamEnrich _),
+    "q35_stream_late" -> (Queries.q35StreamLate _),
     // winnowing (rolling-hash) document fingerprints
     "q25_winnow_fingerprints" -> (Queries.q25WinnowFingerprints _),
     // display surface: P8 middle-ellipsis truncation, E7 ANSI colorize
@@ -96,6 +97,7 @@ object SparkEntry {
     "q23_stream_window" -> Queries.q8Sql, // streaming complete == batch agg
     "q24_stream_first_seen" -> Queries.q24Sql,
     "q31_stream_enrich" -> Queries.q31Sql,
+    "q35_stream_late" -> Queries.q35Sql,
     "q25_winnow_fingerprints" -> Queries.q25Sql,
     "q26_url_display" -> Queries.q26Sql,
     "q27_colorize" -> Queries.q27Sql,

@@ -30,6 +30,25 @@ object Streaming {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
 
+  /**
+   * APPEND-mode windowed counts (§2.10, late-data semantics): each window
+   * row is emitted exactly once — when the watermark passes the window
+   * end — and a row arriving after its window closed is dropped by the
+   * watermark before it reaches state (`numRowsDroppedByWatermark` in the
+   * query progress counts them). Unlike `windowedEventCounts` (complete
+   * mode), the full `window` struct must survive the aggregation for the
+   * watermark→state linkage, so the start is projected AFTER the agg.
+   */
+  def windowedEventCountsAppend(events: DataFrame,
+                                window_ : String = "1 hour",
+                                watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   final case class UrlEvent(url: String, host: String, seq: Long)
   final case class FirstSeen(url: String, host: String, firstSeq: Long)
 

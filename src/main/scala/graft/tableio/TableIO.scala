@@ -81,7 +81,8 @@ class TableIO(baseDir: String, spark: SparkSession) {
    */
   def commitWrites(meta: Map[String, String],
                    tables: Map[String, TableWrite]): Snapshot = {
-    val id = latestId.getOrElse(-1L) + 1L
+    val expectedPrev = latestId.getOrElse(-1L)
+    val id = expectedPrev + 1L
     val tmp = new Path(baseDir, s"_tmp_v$id")
     val fin = new Path(baseDir, s"v$id")
     fs.delete(tmp, true)
@@ -114,9 +115,34 @@ class TableIO(baseDir: String, spark: SparkSession) {
         name -> TableLineage(w.prevRows + newRows, w.prevFiles ++ newFiles)
       }
     }
-    val lineage = Await.result(Future.sequence(lineageF), Duration.Inf).toMap
+    // generous bound, not Inf: a hung FS write must fail loudly with the
+    // table names instead of hanging the crawl with no diagnostic
+    val lineage =
+      try Await.result(Future.sequence(lineageF),
+        Duration(10, scala.concurrent.duration.MINUTES)).toMap
+      catch {
+        case e: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"snapshot v$id of $baseDir: table writes did not finish in " +
+              s"10 min (tables: ${tables.keys.mkString(", ")})", e)
+      }
 
     writeString(new Path(tmp, "manifest.json"), manifestJson(id, meta, lineage))
+    // optimistic concurrency (Iceberg's commit model, as in
+    // HadoopTableOperations): re-validate the version immediately before
+    // the swap — a second committer on this baseDir advanced `_latest`
+    // while our files were writing, and proceeding would silently clobber
+    // its snapshot. Abort loudly; our tmp dir is discarded, the winner's
+    // state is untouched. (The residual check→rename window is the same
+    // one Iceberg's rename-based FS catalog accepts.)
+    beforeSwap(id)
+    val current = latestId.getOrElse(-1L)
+    if (current != expectedPrev) {
+      fs.delete(tmp, true)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on $baseDir: expected latest v$expectedPrev " +
+          s"but found v$current while committing v$id")
+    }
     fs.delete(fin, true)
     require(fs.rename(tmp, fin), s"snapshot rename failed for v$id")
     // atomic pointer swap (tmp file + rename)
@@ -126,6 +152,10 @@ class TableIO(baseDir: String, spark: SparkSession) {
     require(fs.rename(ptrTmp, latestPath), "latest-pointer swap failed")
     Snapshot(id, meta, lineage, fin.toString)
   }
+
+  /** Test seam: runs after the snapshot files are written, immediately
+    * before the optimistic-commit re-validation. */
+  protected def beforeSwap(id: Long): Unit = ()
 
   def latest: Option[Snapshot] = latestId.map(read)
 

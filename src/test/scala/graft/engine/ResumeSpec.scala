@@ -158,6 +158,41 @@ class ResumeSpec extends AnyFunSuite {
     assert(io.table(io.read(0), "t").count() == 1)
   }
 
+  test("optimistic commit: a concurrent committer on one baseDir fails loudly") {
+    // round-4 verdict #7: commitWrites computed id = latest+1 and swapped
+    // `_latest` without re-validation — two engines on one baseDir would
+    // silently clobber each other. The guard re-reads the version right
+    // before the swap (Iceberg's optimistic-commit model).
+    import graft.tableio.{TableIO, TableWrite}
+    val dir = tmpDir("twocommit")
+    val winner = new TableIO(dir, spark)
+    val a = Seq((1L, "a")).toDF("id", "s")
+    // loser: between writing its files and swapping the pointer, the
+    // winner lands a commit (deterministic interleave via the test seam)
+    val loser = new TableIO(dir, spark) {
+      private var fired = false
+      override protected def beforeSwap(id: Long): Unit =
+        if (!fired) { fired = true
+          winner.commitWrites(Map("who" -> "winner"), Map("t" -> TableWrite(a))) }
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      loser.commitWrites(Map("who" -> "loser"),
+        Map("t" -> TableWrite(Seq((2L, "b")).toDF("id", "s"))))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the winner's snapshot is intact and latest; the loser left no debris
+    val latest = loser.latest.get
+    assert(latest.meta("who") == "winner")
+    assert(loser.table(latest, "t").as[(Long, String)].collect.toSeq ==
+      Seq((1L, "a")))
+    val leftover = new java.io.File(dir).list().filter(_.startsWith("_tmp"))
+    assert(leftover.isEmpty, s"loser tmp dirs not cleaned: ${leftover.toSeq}")
+    // the single-writer path is unchanged: a retry on the fresh state lands
+    val s1 = loser.commitWrites(Map("who" -> "retry"),
+      Map("t" -> TableWrite(Seq((2L, "b")).toDF("id", "s"))))
+    assert(s1.id == latest.id + 1)
+  }
+
   test("wave commits write deltas, not full rewrites (table files span snapshots)") {
     val dir = tmpDir("delta")
     val io = new TableIO(dir, spark)

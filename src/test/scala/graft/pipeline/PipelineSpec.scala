@@ -260,4 +260,40 @@ class PipelineSpec extends AnyFunSuite {
     val v = df.orderBy("id").select("rfp").as[Long].collect
     assert(v(0) == v(1) && v(0) != v(2))
   }
+
+  test("q34 approx twin: approx_percentile within its rank-error bound (sf0.1)") {
+    // round-4 verdict #6: the documented 100-TB path (approx_percentile,
+    // bounded mergeable sketch, no per-group sort) gets its own gate. The
+    // guarantee is RANK error <= 1/B, so the approx value must lie inside
+    // the exact [p - 1/B, p + 1/B] quantile envelope per (source, p).
+    // No DuckDB oracle can pin the VALUE: the chosen element depends on
+    // Spark's sketch internals — the bound is the contract.
+    // the envelope is over DISCRETE order statistics (the approx value is
+    // an actual element), not the interpolated percentile: rank range
+    // [floor((p-1/B)·n)-1, ceil((p+1/B)·n)+1), ±1 slack for the
+    // target-rank definition
+    val big = "/root/testdata/sf0.1"
+    val B = 10000
+    val eps = 1.0 / B
+    val ps = Seq(0.5, 0.9, 0.99)
+    val byGroup = spark.read.parquet(s"$big/documents.parquet")
+      .select("source", "n_chars")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (s, a) => s -> a.map(_._2).sorted }
+    val approx = graft.Queries.q34QuantilesApprox(spark, big, accuracy = B)
+      .select("source", "p50", "p90", "p99")
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty && approx.length == byGroup.size)
+    approx.foreach { case (src, a50, a90, a99) =>
+      val v = byGroup(src)
+      val n = v.length
+      Seq(a50, a90, a99).zipWithIndex.foreach { case (a, i) =>
+        val rLo = math.max(0, math.floor((ps(i) - eps) * n).toInt - 1)
+        val rHi = math.min(n - 1, math.ceil((ps(i) + eps) * n).toInt + 1)
+        assert(v(rLo) <= a && a <= v(rHi),
+          s"$src p=${ps(i)}: approx $a outside element envelope " +
+            s"[${v(rLo)}, ${v(rHi)}] (ranks $rLo..$rHi of $n)")
+      }
+    }
+  }
 }
