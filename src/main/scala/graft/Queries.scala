@@ -467,11 +467,13 @@ object Queries {
       "doc_id", "text", shingleN = 5, k = 120, bands = 24, threshold = 0.6)
       .orderBy("id_a", "id_b")
 
-  /** Exact-verify twin of the LSH stage: all pairs with char-5-gram
-    * jaccard >= 0.6 (same normalization/planting as the Spark side).
-    * Quadratic — the ORACLE only; valid at the driver's sf0.01. */
-  val q14Sql: String =
-    """WITH base AS (SELECT doc_id, text FROM documents),
+  /** Shared CTE chain: planted-dup corpus → shingle sets → exact all-pairs
+    * near-dup PAIRS at jaccard >= 0.6 (same normalization/planting as the
+    * Spark side). Quadratic — ORACLE use only; valid at the driver's
+    * sf0.01. q14 selects the pairs directly; q37 chases them into
+    * connected components. */
+  private val dupPairsCtes: String =
+    """base AS (SELECT doc_id, text FROM documents),
       |docs AS (SELECT doc_id, text FROM base
       |  UNION ALL
       |  SELECT doc_id + 10000000, text || ' planted near dup tail'
@@ -479,13 +481,18 @@ object Queries {
       |norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n FROM docs),
       |sh AS (SELECT doc_id,
       |    list_distinct([substring(n, i, 5) FOR i IN generate_series(1, greatest(length(n) - 4, 1))]) AS s
-      |  FROM norm WHERE length(n) > 0)
-      |SELECT id_a, id_b, jaccard FROM (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_intersect(a.s, b.s))::DOUBLE /
-      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
+      |  FROM norm WHERE length(n) > 0),
+      |pairs AS (
+      |  SELECT id_a, id_b, jaccard FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      len(list_intersect(a.s, b.s))::DOUBLE /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.6)""".stripMargin
+
+  /** Exact-verify twin of the LSH stage. */
+  val q14Sql: String =
+    s"WITH $dupPairsCtes\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
 
   /** blocks=8, d=6: pigeonhole-exact recall (any pair within hamming 6
     * shares a full 2-block combination key in one of C(8,2)=28 tables) —
@@ -1261,4 +1268,85 @@ object Queries {
       .select("media_id", "doc_id", "kind", "decoded_ok", "n_frames")
       .orderBy("media_id")
   }
+
+  // --------------------------- training-data pipeline: split/cluster/sample
+
+  /** Deterministic train/validation/test split — the hash-bucket
+    * assignment every training pipeline needs: bucket = first 8 hex
+    * digits of md5(doc_id) mod 100 (md5 is the one hash both engines
+    * compute bit-identically, the q28-plane trick), 80/10/10. A pure
+    * per-row projection: no shuffle, no state, stable under corpus
+    * growth (a doc's split never changes when OTHER docs are added —
+    * the property row_number-based splits lack at 100 TB). */
+  def q36TrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  val q36Sql: String =
+    """SELECT doc_id, source, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, source,
+      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Duplicate-CLUSTER resolution — the pairs→clusters→survivors step a
+    * deduplication pipeline runs after q14's pair detection: connected
+    * components over the near-dup pairs (iterative min-label
+    * propagation, Dedup.connectedComponents), cluster id = the
+    * component's minimum doc id, keep = the survivor rule. */
+  def q37DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(
+      withPlantedDups(s.read.parquet(p(dir, "documents"))),
+      "doc_id", "text", shingleN = 5, k = 120, bands = 24, threshold = 0.6)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumn("keep", col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Transitive closure over the SAME exact pair set (q14's oracle CTEs):
+    * reach(id, m) = m reachable from id, component = min reachable. */
+  val q37Sql: String =
+    s"""WITH RECURSIVE $dupPairsCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, m) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.m FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS doc_id, min(m) AS cluster_id, (id = min(m)) AS keep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Deterministic k-per-group sample (inspection/eval samples without a
+    * global sort): within each language, the 3 docs with the smallest
+    * md5(doc_id) — a uniform draw both engines replay bit-identically.
+    * One slim (lang, doc_id, md5) shuffle; the heavy text column never
+    * moves. */
+  def q38SamplePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    s.read.parquet(p(dir, "documents"))
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("lang", "rk")
+  }
+
+  val q38Sql: String =
+    """SELECT lang, doc_id, rk::INT AS rk FROM (
+      |  SELECT lang, doc_id, row_number() OVER (
+      |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
 }

@@ -78,7 +78,11 @@ object SparkEntry {
     "q28_lsh_ann" -> (Queries.q28LshAnn _),
     // training-data quality gates: repetition metrics + contamination
     "q29_repetition" -> (Queries.q29Repetition _),
-    "q30_contamination" -> (Queries.q30Contamination _))
+    "q30_contamination" -> (Queries.q30Contamination _),
+    // split / duplicate-cluster / sample (pairs→clusters→survivors)
+    "q36_train_split" -> (Queries.q36TrainSplit _),
+    "q37_dup_clusters" -> (Queries.q37DupClusters _),
+    "q38_sample_per_group" -> (Queries.q38SamplePerGroup _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -121,5 +125,8 @@ object SparkEntry {
     "q13_source_stats" -> Queries.q13Sql,
     "q16_embed_topk" -> Queries.q16Sql,
     "q21_frontier_dequeue" -> Queries.q21Sql,
-    "q32_priority_dequeue" -> Queries.q32Sql)
+    "q32_priority_dequeue" -> Queries.q32Sql,
+    "q36_train_split" -> Queries.q36Sql,
+    "q37_dup_clusters" -> Queries.q37Sql,
+    "q38_sample_per_group" -> Queries.q38Sql)
 }

@@ -395,6 +395,8 @@ class CrawlEngine(
   // while a crawl runs; originals are restored on every exit path.
   private val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
   private val origParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+  private val origBcast =
+    spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
   private var tunedSmall = false
   private def tuneForWaveSize(expectedRows: Long): Unit = {
     val wantSmall = expectedRows <= SmallRankRows
@@ -403,12 +405,21 @@ class CrawlEngine(
       if (wantSmall) {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        // broadcast joins cost one EXTRA async job per join per action
+        // (BroadcastExchange builds on its own thread pool; exchange
+        // reuse is within-query only, so every wave action rebuilds
+        // them) — ~30 of the fixture crawl's 45 jobs were broadcast
+        // builds. A tiny wave's joins run as inline 4-partition hash
+        // joins instead: the work rides the action's own job and the
+        // per-wave job count collapses to the named actions.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       } else restoreConf()
     }
   }
   private def restoreConf(): Unit = {
     spark.conf.set("spark.sql.adaptive.enabled", origAqe)
     spark.conf.set("spark.sql.shuffle.partitions", origParts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", origBcast)
     tunedSmall = false
   }
 
@@ -891,8 +902,19 @@ class CrawlEngine(
 
   // ------------------------------------------------------- wave commit
 
+  // Directly-timed snapshot-commit cost (checkpointed mode only): wall
+  // seconds spent inside the TableIO commit branch, summed over the run.
+  // The bench derives commit_overhead_per_wave from THIS, not from
+  // cross-leg subtraction (round-4 verdict: two single-shot legs on a
+  // 2.5-6x-swinging host published a negative overhead).
+  private var commitNanos: Long = 0L
+  private var commitCount: Int = 0
+  /** (total seconds spent committing snapshots, number of commits). */
+  def commitStats: (Double, Int) = (commitNanos / 1e9, commitCount)
+
   private def commitWave(ruleIdx: Int, depth: Int,
                          queue: DataFrame, outer: DataFrame): Unit = {
+    val commitT0 = System.nanoTime()
     checkpoint match {
       case Some(io) =>
         import graft.tableio.TableWrite
@@ -950,6 +972,8 @@ class CrawlEngine(
         // the commit wrote (= materialized) every consumer of this wave's
         // cached frames; release them before the next wave
         releasePins()
+        commitNanos += System.nanoTime() - commitT0
+        commitCount += 1
       case None =>
         // in-memory mode: only `seen` is re-read during the crawl (dedup
         // anti-joins, redirect dup checks) — eager-truncate just it per

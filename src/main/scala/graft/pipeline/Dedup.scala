@@ -382,4 +382,62 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  // ------------------------------------------- duplicate-cluster resolution
+
+  /**
+   * Connected components over an undirected pair list — the
+   * pairs→clusters→survivors step of the dedup pipeline (a near-dup
+   * detector emits PAIRS; deduplication needs CLUSTERS, one kept document
+   * per component). Returns (id, cluster_id) for every id appearing in
+   * `pairs`, cluster_id = the component's minimum id (the conventional
+   * "keep the smallest id" survivor rule).
+   *
+   * Iterative min-label propagation: each round every node takes the
+   * minimum label among itself and its neighbors; fixpoint after
+   * O(component diameter) rounds. All-integer — bit-exact against a
+   * relational oracle, no float ordering hazards. Per round: one
+   * edge⋈label shuffle + one min-aggregation, lineage truncated by
+   * localCheckpoint so plan depth stays O(1) in rounds. Scale: dedup
+   * components are overwhelmingly tiny (pairs of near-identical docs and
+   * small mirror cliques — diameter ≤ 3 in practice), so rounds stay
+   * single-digit at any corpus size; a pathological long-chain graph
+   * would want the large-star/small-star variant (Kiveris et al.,
+   * "Connected Components in MapReduce", SoCC'14), which the round loop
+   * here could adopt without changing the surface. The `maxIter` guard
+   * turns a non-converged run into an error, never a wrong answer.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+    // both directions: min-labels must flow against the a<b orientation
+    val undirected = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = undirected.select(col("src").as("id"))
+      .distinct().withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // neighbor minimum per node, then fold with the node's own label
+      val nbrMin = undirected
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("_changed"))
+        .localCheckpoint(true)
+      // the convergence probe rides the checkpoint's materialized rows
+      converged = next.filter(col("_changed")).limit(1).count() == 0
+      labels = next.drop("_changed")
+      it += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
 }

@@ -29,15 +29,19 @@ object Probe {
     // actually spend its driver round-trips?
     if (sys.env.contains("PROBE_JOBS")) {
       val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+      val sites = scala.collection.concurrent.TrieMap.empty[Int, String]
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
-              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             starts(j.jobId) = System.nanoTime()
+            sites(j.jobId) = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          }
           override def onJobEnd(
               j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
             starts.remove(j.jobId).foreach { t0 =>
-              println(f"JOB ${j.jobId}%4d sec=${(System.nanoTime() - t0) / 1e9}%7.3f")
+              println(f"JOB ${j.jobId}%4d sec=${(System.nanoTime() - t0) / 1e9}%7.3f " +
+                s"site=${sites.remove(j.jobId).getOrElse("?")}")
             }
         })
     }

@@ -296,4 +296,53 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("connectedComponents: chain + triangle + pair resolve to min-id clusters") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // triangle 10-11-12, disjoint pair 20-21; 5 is absent from pairs
+    // (singletons are the caller's no-op set — not emitted)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("id").as[(Long, Long)].collect.toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: maxIter guard errors rather than mis-labels") {
+    // a 12-node chain cannot converge in 2 rounds
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2).collect()
+    }
+  }
+
+  test("q36 split is a stable per-row property with sane proportions") {
+    val out = graft.Queries.q36TrainSplit(spark, sf)
+    val rows = out.select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect.toSeq
+    assert(rows.nonEmpty)
+    // md5-derived bucket is a pure function of doc_id — pin one value
+    // computed independently (first 8 hex of md5("0") = "cfcd2084")
+    val b0 = java.lang.Long.parseLong("cfcd2084", 16) % 100
+    rows.find(_._1 == 0L).foreach(r => assert(r._2 == b0))
+    assert(rows.forall { case (_, b, s) =>
+      (b < 80 && s == "train") || (b >= 80 && b < 90 && s == "validation") ||
+        (b >= 90 && s == "test")
+    })
+    // 500 docs: the 80/10/10 split should be within generous bounds
+    val frac = rows.count(_._3 == "train").toDouble / rows.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("q38 emits at most 3 deterministic rows per language") {
+    val a = graft.Queries.q38SamplePerGroup(spark, sf)
+      .as[(String, Long, Int)].collect.toSeq
+    val b = graft.Queries.q38SamplePerGroup(spark, sf)
+      .as[(String, Long, Int)].collect.toSeq
+    assert(a == b)
+    a.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.size <= 3 && g.map(_._3).sorted == (1 to g.size), lang)
+    }
+  }
 }
