@@ -1349,4 +1349,92 @@ object Queries {
       |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
       |  FROM documents)
       |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
+
+  /** Characteristic terms per source — TF-IDF shaped, but with the
+    * rational idf n_src/df instead of its log: every arithmetic op is a
+    * single IEEE-754 multiply/divide both engines evaluate bit-identically
+    * (ln differs in ULPs across runtimes — an un-oracleable hash hazard),
+    * and log is monotone in n/df so the per-source ranking is the same.
+    * Scale shape: two vocabulary-keyed hash aggs, the corpus-wide doc
+    * count rides a 1-row broadcast, the top-k window sees only slim
+    * (source, term, counts) rows. */
+  def q39Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(p(dir, "documents"))
+    val toks = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nSrc = docs.agg(countDistinct("source").as("n_src"))
+    val score = col("tf").cast("double") * col("n_src") / col("df")
+    val w = Window.partitionBy("source").orderBy(score.desc, col("term"))
+    tf.join(dfT, Seq("term")).crossJoin(broadcast(nSrc))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        round(score, 6).as("score"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  val q39Sql: String =
+    """WITH toks AS (SELECT source,
+      |    unnest(list_filter(regexp_split_to_array(text,'\s+'), x->x<>'')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1,2),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT source)::BIGINT AS n_src FROM documents)
+      |SELECT source, term, tf, df,
+      |  round((tf::DOUBLE * n_src) / df, 6) AS score, rk::INT AS rk FROM (
+      |  SELECT source, term, tf, df, n_src,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (tf::DOUBLE * n_src) / df DESC, term) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
+  /** Cross-document boilerplate report (the C4/CCNet-style "most
+    * duplicated passages" pass): word-8-grams appearing in >= 2 distinct
+    * docs, top-20 by document count. Scale shape: per-doc distinct grams
+    * (one (doc, gram) shuffle), gram-keyed count, TakeOrderedAndProject
+    * top-k — the corpus text never moves twice. */
+  def q40Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(TextAnalysis.wordNgrams(col("ts"), 8)).as("g"))
+      .distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("g")).limit(20)
+  }
+
+  val q40Sql: String =
+    """WITH base AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text,'\s+'), x->x<>'') AS ts
+      |  FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, unnest([array_to_string(ts[i:i+7],' ')
+      |  FOR i IN generate_series(1, greatest(len(ts)-7,0))]) AS g FROM base)
+      |SELECT g, count(*)::BIGINT AS n_docs FROM grams GROUP BY g
+      |HAVING count(*) >= 2 ORDER BY n_docs DESC, g LIMIT 20""".stripMargin
+
+  /** Semi-structured extraction: pull a typed field out of a JSON string
+    * column (`events.props`) and aggregate it — the "crawled page carries
+    * a JSON metadata blob" staple. `get_json_object` is a codegen'd
+    * per-row projection (Jackson streaming parse, no schema inference
+    * job); the only shuffle is the final 5-group hash agg, and all
+    * outputs are exact integers (no float hash hazards). */
+  def q41JsonProps(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    s.read.parquet(p(dir, "events"))
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("k").as("n_k"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val q41Sql: String =
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |  count(DISTINCT CAST(json_extract_string(props,'$.k') AS BIGINT))::BIGINT AS n_k,
+      |  sum(CAST(json_extract_string(props,'$.k') AS BIGINT))::BIGINT AS sum_k,
+      |  min(CAST(json_extract_string(props,'$.k') AS BIGINT))::BIGINT AS min_k,
+      |  max(CAST(json_extract_string(props,'$.k') AS BIGINT))::BIGINT AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -82,7 +82,12 @@ object SparkEntry {
     // split / duplicate-cluster / sample (pairs→clusters→survivors)
     "q36_train_split" -> (Queries.q36TrainSplit _),
     "q37_dup_clusters" -> (Queries.q37DupClusters _),
-    "q38_sample_per_group" -> (Queries.q38SamplePerGroup _))
+    "q38_sample_per_group" -> (Queries.q38SamplePerGroup _),
+    // corpus analytics: characteristic terms + boilerplate passages
+    "q39_tfidf_terms" -> (Queries.q39Tfidf _),
+    "q40_boilerplate_grams" -> (Queries.q40Boilerplate _),
+    // semi-structured: JSON metadata extraction + typed aggregation
+    "q41_json_props" -> (Queries.q41JsonProps _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -128,5 +133,8 @@ object SparkEntry {
     "q32_priority_dequeue" -> Queries.q32Sql,
     "q36_train_split" -> Queries.q36Sql,
     "q37_dup_clusters" -> Queries.q37Sql,
-    "q38_sample_per_group" -> Queries.q38Sql)
+    "q38_sample_per_group" -> Queries.q38Sql,
+    "q39_tfidf_terms" -> Queries.q39Sql,
+    "q40_boilerplate_grams" -> Queries.q40Sql,
+    "q41_json_props" -> Queries.q41Sql)
 }

@@ -335,6 +335,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
   }
 
+  test("q39 ranks top-5 terms per source; score matches tf*n_src/df") {
+    val out = graft.Queries.q39Tfidf(spark, sf)
+      .select("source", "term", "tf", "df", "score", "rk")
+      .as[(String, String, Long, Long, Double, Int)].collect.toSeq
+    assert(out.nonEmpty)
+    // independent n_src from the raw table
+    val nSrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct.count
+    out.groupBy(_._1).foreach { case (src, g) =>
+      val sorted = g.sortBy(_._6)
+      assert(sorted.map(_._6) == (1 to g.size) && g.size <= 5, src)
+      // score is non-increasing down the ranks and matches the formula
+      // ordering is by the unrounded score; the reported column is rounded
+      // to 6 places, so allow that much slack
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._5 >= b._5 - 1e-6; case _ => true
+      }, src)
+      sorted.foreach { case (_, _, tf, df, score, _) =>
+        assert(math.abs(score - BigDecimal(tf.toDouble * nSrc / df)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      }
+    }
+  }
+
+  test("q40 reports only cross-document 8-grams, capped at 20, desc order") {
+    val out = graft.Queries.q40Boilerplate(spark, sf)
+      .as[(String, Long)].collect.toSeq
+    assert(out.size <= 20)
+    assert(out.forall(_._2 >= 2))
+    assert(out.sliding(2).forall {
+      case Seq(a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      case _ => true
+    })
+    // every reported gram must really be 8 whitespace-separated words
+    assert(out.forall(_._1.split(" ").length == 8))
+  }
+
+  test("q41 extracts typed JSON fields; aggregates are internally consistent") {
+    val out = graft.Queries.q41JsonProps(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect.toSeq
+    assert(out.nonEmpty && out.map(_._1) == out.map(_._1).sorted)
+    out.foreach { case (et, n, nk, sum, mn, mx) =>
+      assert(n > 0 && nk <= n && mn <= mx, et)
+      assert(sum >= n * mn && sum <= n * mx, et)
+    }
+    // independent recount of one cell via from_json on the raw table
+    val total = spark.read.parquet(s"$sf/events.parquet")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(sum("k")).as[Long].head
+    assert(out.map(_._4).sum == total)
+  }
+
   test("q38 emits at most 3 deterministic rows per language") {
     val a = graft.Queries.q38SamplePerGroup(spark, sf)
       .as[(String, Long, Int)].collect.toSeq
