@@ -448,7 +448,7 @@ object Queries {
 
   /** Documents with planted near-duplicates (deterministic mutation) so the
     * near-dup detectors have work to find at any SF. */
-  private def withPlantedDups(docs: DataFrame): DataFrame = {
+  private[graft] def withPlantedDups(docs: DataFrame): DataFrame = {
     val planted = docs.filter(col("doc_id") % 100 === 0)
       .withColumn("doc_id", col("doc_id") + 10000000L)
       .withColumn("text", concat(col("text"), lit(" planted near dup tail")))

@@ -183,7 +183,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, bucketCap: Int = 4096,
-      estEps: Double = 0.25): DataFrame = {
+      estEps: Double = 0.25, slimRejoinMinDocs: Long = 100000L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     kernelWarm()
     val r = k / bands
@@ -213,7 +213,7 @@ object Dedup {
     // cold cache and each evaluate the signature kernel concurrently —
     // measured ~6x duplicated work on first run
     val sigs = withSig.persist()
-    sigs.count()
+    val nDocs = sigs.count()
     val banded = capBuckets(
       sigs.select(col("id"), posexplode(col("bandkeys")).as(Seq("band", "bucket"))),
       Seq("band", "bucket"), "id", bucketCap)
@@ -227,11 +227,37 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val sigEst = size(filter(zip_with(col("sig_a"), col("sig_b"),
       (x, y) => x === y), b => b)).cast("double") / k
-    val preFiltered = pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .filter(sigEst >= threshold - estEps)
-      .select("id_a", "id_b")
+    // Rejoin regime flips on corpus size (count already in hand — no extra
+    // job). SMALL corpus (< slimRejoinMinDocs): the sigs side of the
+    // rejoin is broadcast-sized, so carrying (sig, sh) TOGETHER through
+    // one pair of joins costs nothing extra on the wire (nothing shuffles)
+    // and removes two whole join stages of driver latency — at bench scale
+    // that latency IS the query. LARGE corpus: the rejoins are shuffle
+    // joins, prefilter-doomed candidates must not drag their wide shingle
+    // arrays through the exchange (~2.4e-4 of all pairs band-collide at
+    // r=5 — real volume at 10^10 docs), so the slim two-phase shape wins:
+    // sig-only prefilter first, shingles only for survivors. Both paths
+    // evaluate the SAME predicate on the same rows — output identical.
+    val candidates =
+      if (nDocs < slimRejoinMinDocs)
+        pairs
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
+            col("sh").as("sh_a")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
+            col("sh").as("sh_b")), Seq("id_b"))
+          .filter(sigEst >= threshold - estEps)
+          .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      else {
+        val preFiltered = pairs
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .filter(sigEst >= threshold - estEps)
+          .select("id_a", "id_b")
+        preFiltered
+          .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      }
     // exact verify as a JVM kernel (SURVEY §2.11 typed-map policy): the
     // Catalyst formulation (size(array_intersect) / size(array_union))
     // materializes an intersection AND a union array per candidate pair —
@@ -239,10 +265,7 @@ object Dedup {
     // sets; the kernel counts the intersection in one pass with no
     // intermediate arrays. Same integers, same double division, so the
     // jaccard values (and the exact-oracle comparison) are bit-identical.
-    val out = preFiltered
-      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val out = candidates
       .as[(Long, Long, Seq[String], Seq[String])]
       .mapPartitions { it =>
         it.flatMap { case (a, b, sa, sb) =>

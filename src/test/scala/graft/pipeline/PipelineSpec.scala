@@ -73,6 +73,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhash rejoin regimes (slim two-phase vs coalesced) are bit-identical") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def run(minDocs: Long) =
+      Dedup.minhashLshPairs(graft.Queries.withPlantedDups(docs),
+        "doc_id", "text", shingleN = 5, k = 120, bands = 24,
+        threshold = 0.6, slimRejoinMinDocs = minDocs)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Double)].collect.toSeq
+    val slim = run(0L)            // force the large-corpus two-phase shape
+    val coalesced = run(Long.MaxValue) // force the small-corpus shape
+    assert(slim.nonEmpty && slim == coalesced)
+  }
+
   test("simhash: identical=0 distance, near-dup small, different large") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
