@@ -1437,4 +1437,106 @@ object Queries {
       |  min(CAST(json_extract_string(props,'$.k') AS BIGINT))::BIGINT AS min_k,
       |  max(CAST(json_extract_string(props,'$.k') AS BIGINT))::BIGINT AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** As-of join — each purchase matched to the user's most recent click at
+    * or before it. Implemented as the SCALABLE pattern: tag both streams,
+    * union, ONE window over (user_id, ordered ts) carrying the last click
+    * forward — a single shuffle, no range join and no per-row probe
+    * explosion (a naive `c.ts <= p.ts` join is quadratic per hot user).
+    * Ties are deterministic: at equal ts clicks sort before purchases and
+    * by event_id, so the match is the max-event_id click at the max
+    * qualifying ts — the oracle states the same rule in ANSI subqueries. */
+  def q42AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"),
+        lit(null).cast("double").as("value"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"),
+        col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purch)
+      .withColumn("click_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("click_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("click_ts").isNotNull)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"),
+        col("click_id"), col("click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  val q42Sql: String =
+    """WITH clicks AS (SELECT user_id, ts, event_id FROM events
+      |    WHERE event_type = 'click'),
+      |purch AS (SELECT user_id, ts, event_id, value FROM events
+      |    WHERE event_type = 'purchase'),
+      |m AS (SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |    p.value,
+      |    (SELECT max(c.ts) FROM clicks c
+      |      WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
+      |  FROM purch p)
+      |SELECT user_id, purchase_id, purchase_ts, value,
+      |  (SELECT max(c.event_id) FROM clicks c
+      |    WHERE c.user_id = m.user_id AND c.ts = m.click_ts) AS click_id,
+      |  click_ts
+      |FROM m WHERE click_ts IS NOT NULL ORDER BY purchase_id""".stripMargin
+
+  /** Multi-level aggregate (ROLLUP): revenue by region ⊃ nation ⊃ grand
+    * total in one pass — Spark expands grouping sets map-side, so it is
+    * still a single shuffle keyed on (grouping_id, keys). `lvl` is the
+    * engine-neutral grouping bitmask; subtotal rows sort NULLS FIRST in
+    * both engines by explicit direction. */
+  def q43Rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(p(dir, "orders"))
+    val c = s.read.parquet(p(dir, "customer"))
+    val n = s.read.parquet(p(dir, "nation"))
+    val r = s.read.parquet(p(dir, "region"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().as("lvl"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select("lvl", "r_name", "n_name", "revenue", "n_orders")
+      .orderBy(col("lvl"), col("r_name").asc_nulls_first,
+        col("n_name").asc_nulls_first)
+  }
+
+  val q43Sql: String =
+    """SELECT grouping(r_name, n_name)::BIGINT AS lvl, r_name, n_name,
+      |  round(sum(o_totalprice), 2) AS revenue, count(*)::BIGINT AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY lvl, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** Pivot: per-user event counts, one column per event type. The value
+    * list is PINNED (no distinct-values pre-query — at 100 TB that scan
+    * is a whole extra pass); absent combinations are 0, not null, so the
+    * output matches the conditional-aggregation twin exactly. */
+  def q44Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    s.read.parquet(p(dir, "events"))
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("user_id")
+  }
+
+  val q44Sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click')::BIGINT AS click,
+      |  count(*) FILTER (event_type = 'error')::BIGINT AS error,
+      |  count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+      |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+      |  count(*) FILTER (event_type = 'view')::BIGINT AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -87,7 +87,11 @@ object SparkEntry {
     "q39_tfidf_terms" -> (Queries.q39Tfidf _),
     "q40_boilerplate_grams" -> (Queries.q40Boilerplate _),
     // semi-structured: JSON metadata extraction + typed aggregation
-    "q41_json_props" -> (Queries.q41JsonProps _))
+    "q41_json_props" -> (Queries.q41JsonProps _),
+    // relational breadth: as-of join, rollup, pivot
+    "q42_asof_join" -> (Queries.q42AsofJoin _),
+    "q43_rollup" -> (Queries.q43Rollup _),
+    "q44_pivot" -> (Queries.q44Pivot _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -136,5 +140,8 @@ object SparkEntry {
     "q38_sample_per_group" -> Queries.q38Sql,
     "q39_tfidf_terms" -> Queries.q39Sql,
     "q40_boilerplate_grams" -> Queries.q40Sql,
-    "q41_json_props" -> Queries.q41Sql)
+    "q41_json_props" -> Queries.q41Sql,
+    "q42_asof_join" -> Queries.q42Sql,
+    "q43_rollup" -> Queries.q43Sql,
+    "q44_pivot" -> Queries.q44Sql)
 }

@@ -400,6 +400,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_._4).sum == total)
   }
 
+  test("q42 as-of: match is same-user, at-or-before, and a real click") {
+    val out = graft.Queries.q42AsofJoin(spark, sf)
+      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+      .as[(Long, Long, java.sql.Timestamp, Long, java.sql.Timestamp)]
+      .collect.toSeq
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, _, pts, _, cts) => !cts.after(pts) })
+    // every (click_id, click_ts, user) triple must exist as a click event
+    val clicks = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "click")
+      .select("event_id", "ts", "user_id")
+      .as[(Long, java.sql.Timestamp, Long)].collect.toSet
+    assert(out.forall { case (u, _, _, cid, cts) => clicks((cid, cts, u)) })
+    // and it must be the LATEST qualifying click (max ts, then max id)
+    val byUser = clicks.groupBy(_._3)
+    assert(out.forall { case (u, _, pts, cid, cts) =>
+      val best = byUser(u).filter(c => !c._2.after(pts))
+        .maxBy(c => (c._2.getTime, c._1))
+      best._1 == cid && best._2 == cts
+    })
+  }
+
+  test("q43 rollup: nation rows reconcile to region subtotals and the total") {
+    val out = graft.Queries.q43Rollup(spark, sf)
+      .select("lvl", "r_name", "n_name", "n_orders")
+      .as[(Long, String, String, Long)].collect.toSeq
+    assert(out.map(_._1).toSet == Set(0L, 1L, 3L))
+    val detail = out.filter(_._1 == 0L)
+    val regionSub = out.filter(_._1 == 1L)
+    val total = out.filter(_._1 == 3L)
+    assert(total.size == 1 && regionSub.nonEmpty && detail.nonEmpty)
+    regionSub.foreach { case (_, r, n, cnt) =>
+      assert(n == null, s"region subtotal carries n_name $n")
+      assert(detail.filter(_._2 == r).map(_._4).sum == cnt, r)
+    }
+    assert(regionSub.map(_._4).sum == total.head._4)
+  }
+
+  test("q44 pivot: one row per user, columns sum to the user's event count") {
+    val out = graft.Queries.q44Pivot(spark, sf)
+    assert(out.columns.toSeq ==
+      Seq("user_id", "click", "error", "purchase", "signup", "view"))
+    val rows = out.as[(Long, Long, Long, Long, Long, Long)].collect.toSeq
+    assert(rows.map(_._1).distinct.size == rows.size)
+    val totals = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect.toMap
+    rows.foreach { case (u, a, b, c, d, e) =>
+      assert(a + b + c + d + e == totals(u), s"user $u")
+    }
+  }
+
   test("q38 emits at most 3 deterministic rows per language") {
     val a = graft.Queries.q38SamplePerGroup(spark, sf)
       .as[(String, Long, Int)].collect.toSeq
