@@ -1035,6 +1035,19 @@ object Queries {
         expr(s"approx_percentile(n_chars, 0.99, $accuracy)").cast("double").as("p99"))
       .orderBy("source")
 
+  /** HLL++ approx-distinct twin (same contract shape as the q34 approx
+    * twin): the 100-TB distinct-count path — one pass, mergeable sketch,
+    * no exact-distinct two-shuffle expansion. Sketch values are
+    * engine-internal, so the sbt rsd-bound gate is the contract (no
+    * DuckDB oracle possible); the exact `countDistinct` queries on the
+    * driver surface stay the small-scale truth. */
+  def distinctUsersApprox(s: SparkSession, dir: String,
+                          rsd: Double = 0.05): DataFrame =
+    s.read.parquet(p(dir, "events"))
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+      .orderBy("event_type")
+
   /** Winnowing fingerprints (SIGMOD'03 MOSS scheme) over a deterministic
     * doc sample — the rolling-hash document-fingerprinting operator of
     * the training-pipeline family, exploded for a row-exact oracle. */
@@ -1539,4 +1552,209 @@ object Queries {
       |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
       |  count(*) FILTER (event_type = 'view')::BIGINT AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** PII scrub — the pre-training redaction pass (emails + IPv4): count
+    * and strip both pattern families per document, report per source.
+    * The synthetic corpus carries no natural PII, so a deterministic
+    * salting expression (identical CASE/concat logic in both engines)
+    * plants addresses in a doc_id-keyed subset first; the scrub then runs
+    * over every byte of every document — the full-scan work is real.
+    * Patterns are chosen from the Java-regex ∩ RE2 common dialect
+    * (character classes, bounded repeats, `\b` — no lookaround), so both
+    * engines match identical spans. One projection + one hash-agg
+    * shuffle of 4 counters per source; document text never shuffles. */
+  def q45PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val body = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@mail.example")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(200)), lit(".0."),
+          pmod(col("doc_id"), lit(250))))
+        .otherwise(lit("")))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("body"), emailRe, "<EMAIL>"), ipRe, "<IP>")
+    s.read.parquet(p(dir, "documents"))
+      .withColumn("body", body)
+      .select(col("source"),
+        size(regexp_extract_all(col("body"), lit(emailRe), lit(0)))
+          .as("emails"),
+        size(regexp_extract_all(col("body"), lit(ipRe), lit(0))).as("ips"),
+        (length(col("body")) - length(scrubbed)).as("delta"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("emails") + col("ips") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum("emails").as("n_emails"), sum("ips").as("n_ips"),
+        sum("delta").as("chars_redacted"))
+      .orderBy("source")
+  }
+
+  val q45Sql: String =
+    """WITH b AS (
+      |  SELECT source, text
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN ' contact user' || doc_id || '@mail.example' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0
+      |         THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+      |         ELSE '' END AS body
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+      |    len(regexp_extract_all(body, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ips,
+      |    length(body) - length(regexp_replace(
+      |      regexp_replace(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS delta
+      |  FROM b)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN emails + ips > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+      |  sum(emails)::BIGINT AS n_emails, sum(ips)::BIGINT AS n_ips,
+      |  sum(delta)::BIGINT AS chars_redacted
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Range (interval-containment) join, bin-bucketed — the scalable form
+    * of `e.ts BETWEEN w.start AND w.end` when the windows OVERLAP (here a
+    * 3h window sliding every 2h), which no equi-join or as-of pattern
+    * expresses. A naive non-equi join is a broadcast-nested-loop over
+    * every (event, window) pair; instead each window explodes to its
+    * covering hour BINS and each event maps to exactly ONE bin, turning
+    * containment into a plain equi-join on the bin key: cost
+    * O(|events| + |windows|·bins_per_window), never |events|×|windows|.
+    * An event meets a window through one bin only (its own), so no
+    * post-join dedup is needed; the containment filter is kept for
+    * semantic honesty (bins fully inside the window make it a no-op
+    * here, but non-aligned interval tables need it). The tiny exploded
+    * window side broadcasts; at a 100-TB interval table the same plan
+    * degrades gracefully to a shuffle equi-join on bin. */
+  def q46RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+    val windows = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"), max(col("ts")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 2 HOURS"))).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 3 HOURS"))
+    val windowBins = windows.select(col("w_start"), col("w_end"),
+      explode(sequence(col("w_start"),
+        col("w_end") - expr("INTERVAL 1 HOUR"),
+        expr("INTERVAL 1 HOUR"))).as("bin"))
+    ev.withColumn("bin", date_trunc("hour", col("ts")))
+      .join(broadcast(windowBins), Seq("bin"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy("w_start")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("w_start")
+  }
+
+  val q46Sql: String =
+    """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+      |           FROM events),
+      |w AS (SELECT unnest(generate_series(lo, hi, INTERVAL 2 HOUR)) AS w_start
+      |      FROM b)
+      |SELECT w_start, count(*)::BIGINT AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM w JOIN events e
+      |  ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 3 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Inter-event gap profile per user (lag window): the inter-arrival
+    * statistics a crawl-rate / user-activity monitor reports. Gaps are
+    * measured in exact integer MICROSECONDS (`unix_micros` ≡ DuckDB
+    * `epoch_us`) and only integer aggregates are emitted — no float
+    * division or rounding to drift between engines. One shuffle
+    * (window + agg share the user_id key, Catalyst reuses the exchange);
+    * the tie rule at equal ts is pinned by event_id on both sides. */
+  def q47EventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    s.read.parquet(p(dir, "events"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("gap").as("sum_gap_us"),
+        max("gap").as("max_gap_us"), min("gap").as("min_gap_us"))
+      .filter(col("n_events") >= 2)
+      .orderBy("user_id")
+  }
+
+  val q47Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, count(*)::BIGINT AS n_events,
+      |  sum(gap)::BIGINT AS sum_gap_us, max(gap)::BIGINT AS max_gap_us,
+      |  min(gap)::BIGINT AS min_gap_us
+      |FROM g GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
+
+  /** §2.10 part 5: CROSS-BATCH keyed state via flatMapGroupsWithState —
+    * a per-host lifetime admission budget (the streaming politeness
+    * quota). Two staged files drive two deterministic micro-batches
+    * (even event_ids then odd, maxFilesPerTrigger=1, mtime-ordered); the
+    * admitted count per host carries across them, so a host that fills
+    * its cap in batch 0 admits nothing in batch 1. q24's boolean
+    * seen-state can't express this (its state never changes after first
+    * write); this is the state-ACCUMULATION half of the API. Oracle:
+    * admission order is (batch, seq) per host, so the admitted set is
+    * exactly row_number ≤ cap over that order — plain ANSI SQL. */
+  def q48StreamRateLimit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Streaming
+    import s.implicits._
+    val cap = 25
+    val ev = s.read.parquet(p(dir, "events"))
+    def shape(df: DataFrame): DataFrame = df.select(
+      concat(lit("host"), pmod(col("user_id"), lit(50)), lit(".test"))
+        .as("host"),
+      concat(lit("http://host"), pmod(col("user_id"), lit(50)),
+        lit(".test/"), col("event_type"), lit("/"), col("event_id"))
+        .as("url"),
+      col("event_id").as("seq"))
+    val streamDir = tempDirCleaned("graft-stream-rate-")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = tempDirCleaned("graft-stream-stage-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime); ()
+    }
+    val t0 = ((System.currentTimeMillis() / 1000) - 300) * 1000
+    stage(shape(ev.filter(pmod(col("event_id"), lit(2)) === 0)),
+      "0-even.parquet", t0)
+    stage(shape(ev.filter(pmod(col("event_id"), lit(2)) === 1)),
+      "1-odd.parquet", t0 + 60000)
+    val stream = s.readStream
+      .schema("host STRING, url STRING, seq BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .as[Streaming.RateUrl]
+    val name = "q48_stream_rate_limit_result"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val ckpt = tempDirCleaned("graft-stream-ckpt-").toString
+    val q = Streaming.rateLimitedAdmissions(stream, cap).toDF
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("host", "seq")
+  }
+
+  val q48Sql: String =
+    """WITH u AS (
+      |  SELECT 'host' || (user_id % 50) || '.test' AS host,
+      |    'http://host' || (user_id % 50) || '.test/' || event_type
+      |      || '/' || event_id AS url,
+      |    event_id AS seq, event_id % 2 AS b
+      |  FROM events)
+      |SELECT host, url, seq, adm_rank FROM (
+      |  SELECT host, url, seq,
+      |    row_number() OVER (PARTITION BY host ORDER BY b, seq) AS adm_rank
+      |  FROM u)
+      |WHERE adm_rank <= 25 ORDER BY host, seq""".stripMargin
 }

@@ -91,7 +91,13 @@ object SparkEntry {
     // relational breadth: as-of join, rollup, pivot
     "q42_asof_join" -> (Queries.q42AsofJoin _),
     "q43_rollup" -> (Queries.q43Rollup _),
-    "q44_pivot" -> (Queries.q44Pivot _))
+    "q44_pivot" -> (Queries.q44Pivot _),
+    // PII scrub, bin-bucketed range join, lag-gap profile,
+    // cross-batch stateful streaming rate limiter
+    "q45_pii_redact" -> (Queries.q45PiiRedact _),
+    "q46_range_join" -> (Queries.q46RangeJoin _),
+    "q47_event_gaps" -> (Queries.q47EventGaps _),
+    "q48_stream_rate_limit" -> (Queries.q48StreamRateLimit _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -143,5 +149,9 @@ object SparkEntry {
     "q41_json_props" -> Queries.q41Sql,
     "q42_asof_join" -> Queries.q42Sql,
     "q43_rollup" -> Queries.q43Sql,
-    "q44_pivot" -> Queries.q44Sql)
+    "q44_pivot" -> Queries.q44Sql,
+    "q45_pii_redact" -> Queries.q45Sql,
+    "q46_range_join" -> Queries.q46Sql,
+    "q47_event_gaps" -> Queries.q47Sql,
+    "q48_stream_rate_limit" -> Queries.q48Sql)
 }

@@ -91,6 +91,44 @@ object Streaming {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
 
+  final case class RateUrl(host: String, url: String, seq: Long)
+  final case class Admitted(host: String, url: String, seq: Long,
+                            adm_rank: Long)
+
+  /**
+   * Streaming per-host admission budget via flatMapGroupsWithState — the
+   * continuous form of the batch politeness dequeue (O5): each host may
+   * admit at most `perHostCap` URLs over the LIFETIME of the stream, in
+   * (micro-batch, seq) order; the running admitted count is the keyed
+   * state carried across batches. Admission rank is global per host
+   * (state + in-batch position), so a host capped in batch 0 admits
+   * nothing in batch 1 — the cross-batch-state behavior q24's boolean
+   * seen-set cannot express.
+   *
+   * Per-batch group rows are sorted by seq before admission: the admitted
+   * set is deterministic regardless of partition iteration order. The
+   * sort materializes one host's single-batch rows (bounded in any real
+   * deployment by per-host politeness pacing upstream — the same bound
+   * the batch scheduler's per-host windows rely on).
+   */
+  def rateLimitedAdmissions(urls: Dataset[RateUrl],
+                            perHostCap: Int): Dataset[Admitted] = {
+    import urls.sparkSession.implicits._
+    urls
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (host, rows, state: GroupState[Long]) =>
+          val sofar = state.getOption.getOrElse(0L)
+          val room = math.max(0L, perHostCap.toLong - sofar).toInt
+          val admitted = rows.toSeq.sortBy(_.seq).take(room)
+            .zipWithIndex.map { case (r, i) =>
+              Admitted(host, r.url, r.seq, sofar + i + 1) }
+          state.update(sofar + admitted.size)
+          admitted.iterator
+      }
+  }
+
   /** Batch twin of firstSeenUrls (for test equivalence). */
   def firstSeenUrlsBatch(urls: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

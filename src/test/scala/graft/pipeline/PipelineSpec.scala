@@ -452,6 +452,121 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q45 pii: counts match an independent Java-regex sweep per source") {
+    val out = graft.Queries.q45PiiRedact(spark, sf)
+      .select("source", "n_docs", "docs_with_pii", "n_emails", "n_ips",
+        "chars_redacted")
+      .as[(String, Long, Long, Long, Long, Long)].collect.toSeq
+    assert(out.nonEmpty)
+    // independent twin: same salting + patterns evaluated with plain
+    // java.util.regex over the collected corpus (tiny at sf0.001)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect.toSeq
+    val expect = docs.map { case (id, src, text) =>
+      val body = text +
+        (if (id % 3 == 0) s" contact user$id@mail.example" else "") +
+        (if (id % 5 == 0) s" from 10.${id % 200}.0.${id % 250}" else "")
+      val e = email.findAllIn(body).size
+      val i = ip.findAllIn(body).size
+      val scrubbed = ip.replaceAllIn(
+        email.replaceAllIn(body, "<EMAIL>"), "<IP>")
+      (src, e, i, body.length - scrubbed.length)
+    }.groupBy(_._1).map { case (src, a) =>
+      src -> ((a.size.toLong, a.count(x => x._2 + x._3 > 0).toLong,
+        a.map(_._2).sum.toLong, a.map(_._3).sum.toLong,
+        a.map(_._4).sum.toLong))
+    }
+    assert(out.size == expect.size)
+    out.foreach { case (src, nd, np, ne, ni, cr) =>
+      assert(expect(src) == ((nd, np, ne, ni, cr)), src)
+    }
+    assert(out.map(_._4).sum > 0 && out.map(_._5).sum > 0)
+  }
+
+  test("q46 range join: window counts equal brute-force containment") {
+    val out = graft.Queries.q46RangeJoin(spark, sf)
+      .select("w_start", "n_events")
+      .as[(java.sql.Timestamp, Long)].collect.toSeq
+    assert(out.nonEmpty)
+    val ts = spark.read.parquet(s"$sf/events.parquet")
+      .select(unix_micros(col("ts").cast("timestamp")))
+      .as[Long].collect.toSeq
+    val h = 3600L * 1000000L
+    val lo = (ts.min / h) * h
+    out.foreach { case (w, n) =>
+      val w0 = w.getTime * 1000L + (w.getNanos / 1000L) % 1000L
+      assert((w0 - lo) % (2 * h) == 0, s"off-grid window $w")
+      assert(n == ts.count(t => t >= w0 && t < w0 + 3 * h), s"window $w")
+    }
+    // overlapping 3h/2h windows: interior events appear in 1-2 windows,
+    // so total window hits must be >= the event count (strictly, unless
+    // every event sat in a seam gap — impossible with coverage 1-2)
+    assert(out.map(_._2).sum >= ts.size)
+  }
+
+  test("q47 gaps: integer microsecond gap stats equal brute force") {
+    val out = graft.Queries.q47EventGaps(spark, sf)
+      .select("user_id", "n_events", "sum_gap_us", "max_gap_us", "min_gap_us")
+      .as[(Long, Long, Long, Long, Long)].collect.toSeq
+    assert(out.nonEmpty)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, Long, Long)].collect.toSeq
+    val byUser = ev.groupBy(_._1)
+    out.foreach { case (u, n, sg, mx, mn) =>
+      val us = byUser(u).sortBy(e => (e._3, e._2)).map(_._3)
+      val gaps = us.zip(us.tail).map { case (a, b) => b - a }
+      assert(n == us.size && gaps.nonEmpty, u)
+      assert(sg == gaps.sum && mx == gaps.max && mn == gaps.min, u)
+    }
+    assert(out.size == byUser.count(_._2.size >= 2))
+  }
+
+  test("q48 rate limiter: cross-batch cap = first-25 by (batch, seq) per host") {
+    val out = graft.Queries.q48StreamRateLimit(spark, sf)
+      .select("host", "seq", "adm_rank")
+      .as[(String, Long, Long)].collect.toSeq
+    assert(out.nonEmpty)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(pmod(col("user_id"), lit(50)), col("event_id"))
+      .as[(Long, Long)].collect.toSeq
+    val admitted = ev.groupBy(_._1).flatMap { case (h, a) =>
+      a.map(_._2).sortBy(id => (id % 2, id)).take(25).zipWithIndex
+        .map { case (seq, i) => (s"host$h.test", seq, i + 1L) }
+    }.toSet
+    assert(out.size == admitted.size)
+    assert(out.forall(admitted), "admitted set or rank mismatch")
+    // cross-batch state: some host must exhaust its cap inside batch 0
+    // (even seqs) so batch 1 rows are REJECTED by carried state
+    assert(out.exists { case (_, seq, r) => r == 25L && seq % 2 == 0 })
+  }
+
+  test("hll twin: approx_count_distinct within 3x rsd of exact (sf0.01)") {
+    // same contract shape as the q34 approx twin: the 100-TB distinct
+    // path is the mergeable HLL++ sketch (one pass, no exact-distinct
+    // two-shuffle expansion); its value is engine-internal so no DuckDB
+    // oracle can pin it — the documented rsd bound is the gate.
+    val dir = "/root/testdata/sf0.01"
+    val rsd = 0.05
+    val approx = graft.Queries.distinctUsersApprox(spark, dir, rsd)
+      .select("event_type", "n_users_approx")
+      .as[(String, Long)].collect.toMap
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect.toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex) <= math.max(1L, (3 * rsd * ex).toLong),
+        s"$k approx=$ap exact=$ex")
+    }
+  }
+
   test("q38 emits at most 3 deterministic rows per language") {
     val a = graft.Queries.q38SamplePerGroup(spark, sf)
       .as[(String, Long, Int)].collect.toSeq
