@@ -45,6 +45,9 @@ object Probe {
             }
         })
     }
+    // PROBE_EXPLAIN=1: dump the formatted physical plan once before timing
+    if (sys.env.contains("PROBE_EXPLAIN"))
+      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     (1 to n).foreach { i =>
       if (name.startsWith("crawl")) graft.Queries.crawlCacheClear()
       val t0 = System.nanoTime()

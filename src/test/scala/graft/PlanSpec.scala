@@ -300,6 +300,61 @@ class PlanSpec extends AnyFunSuite {
     assert(nJobs <= 20, s"fixture crawl ran $nJobs jobs (budget 20)")
   }
 
+  test("q42 as-of join: one hash exchange, no range join blowup") {
+    val p = plan(Queries.q42AsofJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not plan a nested-loop/cartesian:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange (user_id), got $hashEx:\n$p")
+  }
+
+  test("q44 pivot with pinned values plans without a distinct pre-scan job") {
+    // Resolving a parquet table costs a listing/footer job by itself, so the
+    // gate is DIFFERENTIAL: building+planning q44 must run exactly as many
+    // jobs as resolving its one input table — zero extra for pivot values.
+    def jobsDuring(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        org.apache.spark.GraftListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
+      } finally spark.sparkContext.removeSparkListener(l)
+      jobs.get
+    }
+    val baseline = jobsDuring {
+      spark.read.parquet(s"$sf/events.parquet").queryExecution.executedPlan
+    }
+    val pivot = jobsDuring {
+      Queries.q44Pivot(spark, sf).queryExecution.executedPlan
+    }
+    assert(pivot <= baseline,
+      s"pivot planning ran $pivot job(s) vs $baseline for a bare table read — " +
+        "the values pre-scan is back")
+  }
+
+  test("q45 pii scrub: pruned scan, native regex expressions, no UDF") {
+    val p = plan(Queries.q45PiiRedact(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"expected pruned scan:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    assert(p.contains("HashAggregate"), "counters must hash-aggregate")
+  }
+
+  test("q46 range join: bin-bucketed equi-join, never a nested loop") {
+    val p = plan(Queries.q46RangeJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bin key must drive a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment must not plan a nested loop:\n$p")
+  }
+
   test("no UDF on the robots admission path") {
     import spark.implicits._
     val queue = spark.range(100).select(
