@@ -1757,4 +1757,202 @@ object Queries {
       |    row_number() OVER (PARTITION BY host ORDER BY b, seq) AS adm_rank
       |  FROM u)
       |WHERE adm_rank <= 25 ORDER BY host, seq""".stripMargin
+
+  // ------------------------------------------ physical data layout (q49-q51)
+
+  /** Bucketed copies of orders/customer, written once per (JVM, sf dir):
+    * both sides bucketed AND sorted by the join key, pre-shuffled so each
+    * bucket is exactly one file (HashPartitioning(key, n) is the bucket
+    * spec, so `repartition(n, key)` puts each bucket's rows in one task).
+    * One file per bucket lets the scan report its sort order, making
+    * later sort-merge joins on the key exchange-free AND sort-free. */
+  private val bucketedBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bucketTag(dir: String): String =
+    java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+  private def ensureBucketed(s: SparkSession, dir: String): Unit = {
+    bucketedBase.computeIfAbsent(dir, _ => {
+      val base = tempDirCleaned("graft-buckets-").toString
+      Seq(("orders", "o_custkey"), ("customer", "c_custkey")).foreach {
+        case (t, key) =>
+          s.read.parquet(p(dir, t))
+            .repartition(8, col(key))
+            .write.option("path", s"$base/graft_b_${t}_${bucketTag(dir)}")
+            .bucketBy(8, key).sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(s"graft_b_${t}_${bucketTag(dir)}")
+      }
+      base
+    })
+    ()
+  }
+
+  /** Storage-bucketed co-located join — the layout lever for REPEATED
+    * joins at 100 TB: pay the partitioning shuffle once at write time,
+    * then every subsequent join on the bucket key is exchange-free (the
+    * only shuffle left in this plan is the post-join aggregation;
+    * PlanSpec pins exactly that). The merge hint keeps the demonstration
+    * honest at fixture scale, where the dim side would otherwise
+    * broadcast — at 100 TB both sides are too big to broadcast and
+    * sort-merge over bucketed layout IS the intended plan. Bucketing
+    * only changes layout, so the oracle is the same join over the raw
+    * parquet. */
+  def q49BucketJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureBucketed(s, dir)
+    // Since Spark 3.1 bucketed scans don't report their sortBy order unless
+    // this conf is on (it lists files at planning time to prove one file per
+    // bucket — which ensureBucketed guarantees via the pre-shuffle). It only
+    // affects bucketed-table scans, and q49 is the only query reading one.
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val o = s.table(s"graft_b_orders_${bucketTag(dir)}").hint("merge")
+    val c = s.table(s"graft_b_customer_${bucketTag(dir)}").hint("merge")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q49Sql: String =
+    """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Training-shard export — the output-sizing sink of a data pipeline:
+    * documents land in 16 deterministic md5 shards (same first-8-hex
+    * bucket rule as q36, so a doc's shard never changes as the corpus
+    * grows), written `partitionBy(shard)` with `maxRecordsPerFile`
+    * bounding every file (at 100 TB this is what keeps downstream
+    * loader tasks uniform). The query surface reads BACK what was
+    * written and manifests it per shard — so the driver oracle checks
+    * the full write→read round trip, not just the shard arithmetic.
+    * Integer-exact aggregates (count/sum n_chars/min/max) keep the
+    * oracle hash-stable. */
+  private val shardExportBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def shardExportPath(s: SparkSession, dir: String): String =
+    shardExportBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-shards-").toString
+      val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 16).cast("int")
+      s.read.parquet(p(dir, "documents"))
+        .withColumn("shard", shard)
+        .repartition(col("shard"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 250)
+        .partitionBy("shard").parquet(out)
+      out
+    })
+
+  def q50ShardExport(s: SparkSession, dir: String): DataFrame = {
+    val out = shardExportPath(s, dir)
+    s.read.parquet(out)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+  }
+
+  val q50Sql: String =
+    """SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+      |          % 16)::INTEGER AS shard,
+      |  count(*)::BIGINT AS docs, sum(n_chars)::BIGINT AS chars,
+      |  min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Time-sorted layout + file-skipping scan — the scan-pruning lever:
+    * events rewritten `repartitionByRange(ts).sortWithinPartitions(ts)`
+    * (the cheap one-dimensional cousin of z-ordering) give every file a
+    * tight, pairwise-disjoint ts min/max envelope, so a time-window
+    * query reads ~window/range of the files instead of all of them —
+    * at 100 TB that is the difference between scanning 3 days and
+    * scanning 30. PlanSpec verifies the envelopes really are disjoint
+    * (straight from the parquet footers) and that the ts predicate is
+    * pushed to the scan; the oracle runs the same window over the raw
+    * table (the rewrite is content-preserving). */
+  private val timeLayoutBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def timeLayoutPath(s: SparkSession, dir: String): String =
+    timeLayoutBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-timelayout-").toString
+      s.read.parquet(p(dir, "events"))
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  def q51TimePruning(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(timeLayoutPath(s, dir))
+    val tsType = ev.schema("ts").dataType // testdata ts is TIMESTAMP_NTZ
+    ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast(tsType) &&
+        col("ts") < lit("2024-01-13 00:00:00").cast(tsType))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q51Sql: String =
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** §2.10 part 6: stream-STREAM interval join — purchase→click
+    * attribution within the preceding hour, per user
+    * (Streaming.clickAttribution). Two file streams drive one
+    * AvailableNow batch; the inner time-interval join is append-mode by
+    * construction, and the two-sided time bound is what keeps the join
+    * state finite on an unbounded stream. Integer-exact output (ids +
+    * microsecond gap), so the oracle is the same interval join in plain
+    * batch SQL. */
+  def q52StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Streaming
+    val ev = s.read.parquet(p(dir, "events"))
+    def stageSide(t: String, pre: String): String = {
+      val d = tempDirCleaned(s"graft-stream-$pre-")
+      ev.filter(col("event_type") === t)
+        // watermarks need TIMESTAMP (with tz); testdata ts is NTZ.
+        // Session tz is UTC everywhere, so the cast is value-preserving.
+        .select(col("user_id").as(s"${pre}_user"),
+          col("event_id").as(s"${pre}_id"),
+          col("ts").cast("timestamp").as(s"${pre}_ts"))
+        .coalesce(1).write.mode("overwrite").parquet(d.toString)
+      d.toString
+    }
+    val clicks = s.readStream
+      .schema("c_user BIGINT, c_id BIGINT, c_ts TIMESTAMP")
+      .parquet(stageSide("click", "c"))
+    val purchases = s.readStream
+      .schema("p_user BIGINT, p_id BIGINT, p_ts TIMESTAMP")
+      .parquet(stageSide("purchase", "p"))
+    val name = "q52_stream_join_result"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val ckpt = tempDirCleaned("graft-stream-ckpt-").toString
+    val q = Streaming.clickAttribution(clicks, purchases)
+      .select(col("p_user").as("user_id"), col("p_id").as("purchase_id"),
+        col("c_id").as("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("purchase_id", "click_id")
+  }
+
+  val q52Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  c.event_id AS click_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
 }

@@ -97,7 +97,14 @@ object SparkEntry {
     "q45_pii_redact" -> (Queries.q45PiiRedact _),
     "q46_range_join" -> (Queries.q46RangeJoin _),
     "q47_event_gaps" -> (Queries.q47EventGaps _),
-    "q48_stream_rate_limit" -> (Queries.q48StreamRateLimit _))
+    "q48_stream_rate_limit" -> (Queries.q48StreamRateLimit _),
+    // physical data layout: bucketed co-located join, bounded-file shard
+    // export round trip, time-sorted layout with file-skipping scan
+    "q49_bucket_join" -> (Queries.q49BucketJoin _),
+    "q50_shard_export" -> (Queries.q50ShardExport _),
+    "q51_time_pruning" -> (Queries.q51TimePruning _),
+    // stream-stream interval join (attribution)
+    "q52_stream_join" -> (Queries.q52StreamJoin _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -153,5 +160,9 @@ object SparkEntry {
     "q45_pii_redact" -> Queries.q45Sql,
     "q46_range_join" -> Queries.q46Sql,
     "q47_event_gaps" -> Queries.q47Sql,
-    "q48_stream_rate_limit" -> Queries.q48Sql)
+    "q48_stream_rate_limit" -> Queries.q48Sql,
+    "q49_bucket_join" -> Queries.q49Sql,
+    "q50_shard_export" -> Queries.q50Sql,
+    "q51_time_pruning" -> Queries.q51Sql,
+    "q52_stream_join" -> Queries.q52Sql)
 }

@@ -129,6 +129,23 @@ object Streaming {
       }
   }
 
+  /**
+   * Stream-stream interval join (§2.10, part 6): each purchase joined to
+   * the SAME user's clicks in the preceding hour — the attribution join.
+   * Both sides carry watermarks and the join condition is time-bounded
+   * in BOTH directions, which is exactly what lets Spark bound the join
+   * state at 100 TB: click state older than (purchase watermark − 1 h)
+   * is evicted instead of accumulating forever. Inner time-interval
+   * joins are append-mode by construction — a matched pair is emitted
+   * once, when both sides have arrived.
+   */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    purchases.withWatermark("p_ts", "2 hours")
+      .join(clicks.withWatermark("c_ts", "2 hours"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+
   /** Batch twin of firstSeenUrls (for test equivalence). */
   def firstSeenUrlsBatch(urls: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -25,6 +25,62 @@ object ParquetStats {
   /** Drop all cached counts (test hook / explicit refresh). */
   def invalidate(): Unit = cache.clear()
 
+  /** Every data file under `path` (recursive — partitioned layouts have
+    * `key=value` subdirectories), driver-side metadata listing only. */
+  private def dataFiles(
+      spark: SparkSession, path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else if (st.getPath.getName.endsWith(".parquet") ||
+        st.getPath.getName.startsWith("part-")) Seq(st)
+      else Seq.empty
+    walk(fs.getFileStatus(p))
+  }
+
+  /** Per-data-file record counts (recursive), from footers only — the
+    * layout evidence for output-sizing gates (`maxRecordsPerFile`). */
+  def fileRowCounts(spark: SparkSession, path: String): Seq[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dataFiles(spark, path).map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+      try r.getRecordCount finally r.close()
+    }
+  }
+
+  /** Per-data-file (min, max) statistics envelope of an INT64 column
+    * (timestamps included — parquet stores TIMESTAMP_MICROS as INT64),
+    * one pair per file, from footers only. Pairwise-DISJOINT envelopes
+    * across files are the property that makes min/max data skipping
+    * effective: a range predicate then prunes whole files' row groups. */
+  def int64Envelopes(
+      spark: SparkSession, path: String, column: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    dataFiles(spark, path).map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        val stats = r.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .filter(_.getPath.toDotString == column).map(_.getStatistics)
+        }
+        require(stats.nonEmpty, s"no stats for $column in ${f.getPath}")
+        (stats.map(_.genericGetMin match {
+          case l: java.lang.Long => l.longValue
+          case o => o.toString.toLong
+        }).min,
+          stats.map(_.genericGetMax match {
+            case l: java.lang.Long => l.longValue
+            case o => o.toString.toLong
+          }).max)
+      } finally r.close()
+    }
+  }
+
   /** Total rows of a parquet file or directory, from footers only. */
   def rowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration

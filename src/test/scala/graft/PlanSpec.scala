@@ -355,6 +355,40 @@ class PlanSpec extends AnyFunSuite {
       s"containment must not plan a nested loop:\n$p")
   }
 
+  test("q49 bucketed join: exchange-free and sort-free on the join sides") {
+    val p = plan(Queries.q49BucketJoin(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"merge hint must hold:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"join sides must scan the BUCKETED tables:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"bucket layout must absorb the join shuffle (1 agg exchange only), " +
+        s"got $hashEx:\n$p")
+    // one-file-per-bucket + sortBy: the scan reports its order, so the
+    // SMJ needs no Sort either — the only Sort left is the final orderBy
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts == 1, s"expected only the output Sort, got $sorts:\n$p")
+  }
+
+  test("q51 time layout: disjoint per-file ts envelopes + pushed range filter") {
+    val path = Queries.timeLayoutPath(spark, sf)
+    val env = graft.tableio.ParquetStats
+      .int64Envelopes(spark, path, "ts").sortBy(_._1)
+    assert(env.size >= 4, s"expected a multi-file layout, got ${env.size}")
+    env.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 < b._1,
+          s"file envelopes overlap: $a vs $b — range layout broken")
+      case _ =>
+    }
+    val p = plan(Queries.q51TimePruning(spark, sf))
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r
+      .findFirstIn(p).isDefined,
+      s"ts lower bound must reach the scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(ts".r.findFirstIn(p).isDefined,
+      s"ts upper bound must reach the scan:\n$p")
+  }
+
   test("no UDF on the robots admission path") {
     import spark.implicits._
     val queue = spark.range(100).select(

@@ -577,4 +577,22 @@ class PipelineSpec extends AnyFunSuite {
       assert(g.size <= 3 && g.map(_._3).sorted == (1 to g.size), lang)
     }
   }
+
+  test("q50 shard export: bounded files, sharded layout, exact round trip") {
+    val out = graft.Queries.shardExportPath(spark, sf)
+    // every data file respects maxRecordsPerFile (footer evidence)
+    val counts = graft.tableio.ParquetStats.fileRowCounts(spark, out)
+    assert(counts.nonEmpty && counts.forall(_ <= 250),
+      s"file sizes exceed the 250-record bound: $counts")
+    // the layout really is partitioned by shard
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard="))
+    assert(shardDirs.length == 16, s"expected 16 shard dirs: ${shardDirs.toSeq}")
+    // write -> read round trip loses nothing and invents nothing
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars")
+    val back = spark.read.parquet(out).select("doc_id", "n_chars")
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
 }

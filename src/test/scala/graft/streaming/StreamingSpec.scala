@@ -90,4 +90,25 @@ class StreamingSpec extends AnyFunSuite {
       .select("url", "firstSeq").as[(String, Long)].collect.toSet
     assert(got == batch)
   }
+
+  test("stream-stream interval join == batch interval join (q52 twin)") {
+    val got = graft.Queries.q52StreamJoin(spark, sf)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"),
+        col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"),
+        col("ts").as("cts"))
+    val batch = p.join(c, col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") <= col("pts"))
+      .select(col("pu"), col("pid"), col("cid"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap"))
+      .orderBy("pid", "cid").as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got.nonEmpty, "fixture window must produce attribution pairs")
+    assert(got == batch)
+  }
 }
