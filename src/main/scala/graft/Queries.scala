@@ -4,7 +4,7 @@ import graft.engine.{CrawlEngine, CrawlTables, Recipe}
 import graft.fixtures.FixtureCorpus
 import graft.graph.GraphQueries
 import graft.model._
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Similarity, SkewJoin, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1955,4 +1955,33 @@ object Queries {
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
+
+  /** Salted-key skew-mitigated join (SkewJoin.saltedJoin — the scheduler's
+    * hot-host salting generalized to any equi-join): events⋈customer with
+    * the top-5 hottest user keys spread over 4 salts, so the shuffle join
+    * partitions on (key, salt) and no reducer owns a whole hot key. The
+    * shuffle_hash hint pins the at-scale strategy (fixture-size customer
+    * would broadcast and bypass the shuffle being exercised). Salting is
+    * plan-only — the result is row-for-row the plain join, so the oracle
+    * is the unsalted join in ANSI SQL; integer-exact aggregates. */
+  def q53SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+    val cust = s.read.parquet(p(dir, "customer"))
+    SkewJoin.saltedJoin(ev, cust, "user_id", "c_custkey",
+        col("event_id"), hotK = 5, salts = 4, strategy = Some("shuffle_hash"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        min("event_id").as("min_event"),
+        max("event_id").as("max_event"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q53Sql: String =
+    """SELECT c_mktsegment, count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  min(event_id)::BIGINT AS min_event,
+      |  max(event_id)::BIGINT AS max_event
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }

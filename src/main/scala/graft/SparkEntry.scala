@@ -104,7 +104,9 @@ object SparkEntry {
     "q50_shard_export" -> (Queries.q50ShardExport _),
     "q51_time_pruning" -> (Queries.q51TimePruning _),
     // stream-stream interval join (attribution)
-    "q52_stream_join" -> (Queries.q52StreamJoin _))
+    "q52_stream_join" -> (Queries.q52StreamJoin _),
+    // salted-key skew-mitigated shuffle join
+    "q53_skew_join" -> (Queries.q53SkewJoin _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -164,5 +166,6 @@ object SparkEntry {
     "q49_bucket_join" -> Queries.q49Sql,
     "q50_shard_export" -> Queries.q50Sql,
     "q51_time_pruning" -> Queries.q51Sql,
-    "q52_stream_join" -> Queries.q52Sql)
+    "q52_stream_join" -> Queries.q52Sql,
+    "q53_skew_join" -> Queries.q53Sql)
 }

@@ -389,6 +389,23 @@ class PlanSpec extends AnyFunSuite {
       s"ts upper bound must reach the scan:\n$p")
   }
 
+  test("q53 skew join: shuffle partitioned on (key, salt), hot list broadcast") {
+    val p = plan(Queries.q53SkewJoin(spark, sf))
+    // the salted join really repartitions on BOTH the key and the salt —
+    // the property that spreads a hot key over `salts` reducers
+    assert("hashpartitioning\\(user_id#\\d+L?, __fsalt".r.findFirstIn(p).isDefined,
+      s"salted shuffle must partition on (user_id, __fsalt):\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"at-scale strategy hint must hold:\n$p")
+    // hot-key detection is a slim top-k (TakeOrdered) fed to broadcast taggers
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hot-key list must be a top-k, not a full sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot tagging must ride broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no product joins:\n$p")
+  }
+
   test("no UDF on the robots admission path") {
     import spark.implicits._
     val queue = spark.range(100).select(

@@ -578,6 +578,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("salted skew join == plain join (incl. duplicate dim keys)") {
+    import spark.implicits._
+    // one mega-hot key (0: 600 rows), two warm (1,2), a cold tail — and
+    // dim-side DUPLICATE keys so the hot-row replication logic is exercised
+    // (each fact row must match every dim row with its key exactly once)
+    val fact = (0 until 1000).map { i =>
+      val k = if (i < 600) 0L else if (i < 800) 1L else if (i < 900) 2L
+        else (i % 7 + 3).toLong
+      (k, i.toLong)
+    }.toDF("k", "rid")
+    val dim = Seq((0L, "a"), (0L, "b"), (1L, "c"), (3L, "d"), (4L, "e"),
+      (9L, "z")).toDF("dk", "tag")
+    val salted = graft.pipeline.SkewJoin
+      .saltedJoin(fact, dim, "k", "dk", col("rid"), hotK = 3, salts = 4)
+      .select("k", "rid", "tag").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "rid", "tag").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.count(_._1 == 0L) == 1200, "hot key must hit both dim dups")
+    // events x customer at fixture scale, through the q53 path
+    val got = graft.Queries.q53SkewJoin(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val exp = spark.read.parquet(s"$sf/events.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        min("event_id").as("min_event"), max("event_id").as("max_event"))
+      .orderBy("c_mktsegment")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == exp)
+  }
+
   test("q50 shard export: bounded files, sharded layout, exact round trip") {
     val out = graft.Queries.shardExportPath(spark, sf)
     // every data file respects maxRecordsPerFile (footer evidence)
