@@ -50,6 +50,19 @@ object OracleGen {
     Seq("url", "canonicalHost", "wave", "seq"),
     Map("wave" -> "INT", "seq" -> "BIGINT"), "seq")
 
+  /** Per-wave seen-row attribution for crawl_increments: the union of
+    * incremental snapshot reads must deliver every seen row exactly once,
+    * so grouping it by wave reproduces these per-wave (count, seq-range)
+    * totals from the sequential crawler. */
+  def crawlIncrementsSql: String = values(
+    ref.seen.groupBy(_.wave).toSeq.sortBy(_._1).map { case (w, rows) =>
+      Seq(w.toString, rows.size.toString,
+        rows.map(_.seq).min.toString, rows.map(_.seq).max.toString)
+    },
+    Seq("wave", "rows_added", "min_seq", "max_seq"),
+    Map("wave" -> "INT", "rows_added" -> "BIGINT",
+      "min_seq" -> "BIGINT", "max_seq" -> "BIGINT"), "wave")
+
   def crawlOrderSql: String = values(
     ref.processed.zipWithIndex.map { case (p, i) =>
       Seq(p.wave.toString, i.toString, q(p.url), p.mode.toString,
@@ -290,6 +303,7 @@ object OracleGen {
   /** All runtime-generated oracles (merged by Verify into oracle_sql.json). */
   def all: Map[String, String] = Map(
     "crawl_seen" -> crawlSeenSql,
+    "crawl_increments" -> crawlIncrementsSql,
     "crawl_order" -> crawlOrderSql,
     "crawl_dump" -> crawlDumpSql,
     "crawl_edges" -> crawlEdgesSql,

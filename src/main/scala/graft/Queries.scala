@@ -1984,4 +1984,285 @@ object Queries {
       |  max(event_id)::BIGINT AS max_event
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------ sketches & layout, cont.
+
+  /** Count-min-sketch heavy hitters — the fixed-memory frequency sketch a
+    * 100-TB pipeline builds in ONE pass over the event firehose and then
+    * point-queries for a small candidate set without ever rescanning
+    * history. d=4 hash rows × w=4096 buckets; hash_i(key) = first-8-hex
+    * md5("i:key") mod w — the q28/q36 md5 trick, which makes the sketch
+    * bit-identically replayable in ANSI SQL, so the DuckDB oracle rebuilds
+    * the SKETCH itself, not just the final answer. Sizing: over-count ≤
+    * (e/w)·N w.h.p., so w is chosen from the TARGET ABSOLUTE ERROR, never
+    * from key cardinality — at 10^11 events, w=2^26 bounds error at
+    * ~4·10^6 (0.004%) in a 1 GiB sketch; here w=4096 keeps sf0.01's
+    * top-10 ranking exact-equal while the sketch stays a toy 16 Ki
+    * counters. Build cost: one slim (row, bucket) hash-agg shuffle over
+    * 4·N two-int rows with map-side combine; the finished sketch is
+    * broadcast-sized by construction at ANY corpus scale, so the probe
+    * join never shuffles the candidate side. estimate = min over rows
+    * (the classic CMS upper bound: est ≥ exact always; PipelineSpec
+    * gates the deterministic half). The exact count rides along for the
+    * error column a real pipeline report would show. */
+  def q54CmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+    val d = 4
+    val w = 4096
+    def bucket(i: Int, key: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 8),
+        16, 10).cast("long") % w).cast("int")
+    val hits = (0 until d).map(i =>
+      ev.select(lit(i).as("r"), bucket(i, col("user_id")).as("b")))
+      .reduce(_ union _)
+    val sketch = hits.groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+    val cand = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val probes = (0 until d).map(i =>
+      cand.select(col("user_id"), lit(i).as("r"),
+        bucket(i, col("user_id")).as("b")))
+      .reduce(_ union _)
+    val est = probes
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy("user_id").agg(min("cnt").as("est"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("user_id"))
+      .select("user_id", "est", "exact_cnt")
+      .orderBy(col("est").desc, col("user_id"))
+      .limit(10)
+  }
+
+  val q54Sql: String =
+    """WITH hrows AS (SELECT unnest([0,1,2,3]) AS r),
+      |hits AS (
+      |  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || user_id::VARCHAR),
+      |             1, 8))::BIGINT % 4096 AS b
+      |  FROM events CROSS JOIN hrows),
+      |sketch AS (SELECT r, b, count(*)::BIGINT AS cnt FROM hits GROUP BY r, b),
+      |cand AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |probes AS (
+      |  SELECT user_id, r,
+      |    ('0x' || substr(md5(r::VARCHAR || ':' || user_id::VARCHAR),
+      |     1, 8))::BIGINT % 4096 AS b
+      |  FROM cand CROSS JOIN hrows),
+      |est AS (SELECT p.user_id, min(s.cnt) AS est
+      |        FROM probes p JOIN sketch s ON p.r = s.r AND p.b = s.b
+      |        GROUP BY p.user_id),
+      |exact AS (SELECT user_id, count(*)::BIGINT AS exact_cnt
+      |          FROM events GROUP BY user_id)
+      |SELECT e.user_id, e.est, x.exact_cnt
+      |FROM est e JOIN exact x ON e.user_id = x.user_id
+      |ORDER BY est DESC, e.user_id LIMIT 10""".stripMargin
+
+  /** True 2-D z-order layout — the multi-dimensional upgrade of q51's 1-D
+    * time sort: interleave the low 6 bits of (day index, user bucket)
+    * into a 12-bit z-value, range-partition + sort the table by it, and
+    * BOTH a time predicate AND a user-bucket predicate now prune whole
+    * files from their footer envelopes. A 1-D time sort can never prune
+    * on the second dimension (every file's user-bucket envelope spans the
+    * full domain); the z-curve trades a little per-dim locality for
+    * pruning on all interleaved dims — at 100 TB this is the layout for
+    * the "this week × this cohort" scan pattern. Derived columns
+    * (day_idx, ubucket, zval) are integer-exact and materialized so the
+    * footer stats exist; PlanSpec gates the actual file-skipping ratio on
+    * both dims from the footers. The rewrite is content-preserving, so
+    * the oracle runs the same predicate over the raw table. */
+  private val zorderLayoutBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def zorderLayoutPath(s: SparkSession, dir: String): String =
+    zorderLayoutBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-zorder-").toString
+      def bit(c: org.apache.spark.sql.Column, i: Int) =
+        shiftright(c, i).bitwiseAND(lit(1L))
+      val z = (0 until 6).map(i =>
+        shiftleft(bit(col("day_idx"), i), 2 * i + 1)
+          .bitwiseOR(shiftleft(bit(col("ubucket"), i), 2 * i)))
+        .reduce(_ bitwiseOR _)
+      s.read.parquet(p(dir, "events"))
+        // epoch-day index relative to 2024-01-01 (epoch day 19723); the
+        // testdata spans days 0..29, so 6 bits are lossless. ts is
+        // TIMESTAMP_NTZ; session tz is UTC so the cast is value-preserving
+        .withColumn("day_idx",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000") -
+            lit(19723L))
+        .withColumn("ubucket", (col("user_id") % 64).cast("long"))
+        .withColumn("zval", z)
+        .repartitionByRange(16, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  def q55ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(zorderLayoutPath(s, dir))
+      .filter(col("day_idx").between(9, 11) && col("ubucket") < 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q55Sql: String =
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE (epoch_us(ts) // 86400000000) - 19723 BETWEEN 9 AND 11
+      |  AND user_id % 64 < 8
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Runtime bloom-filter join pruning — Spark's run-time answer to the
+    * build-time layouts above: a selective dim filter (one mktsegment)
+    * is turned into a bloom filter at run time and injected into the
+    * fact-side SCAN, so fact rows that cannot match never enter the
+    * shuffle. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~1/5 that can join. The merge
+    * hint pins a shuffle join (a broadcast join has no application-side
+    * shuffle to save, so the rule would — correctly — skip injection);
+    * the scan-size threshold is lowered only for this query's own
+    * materialization and restored in `finally` (the DF is eagerly
+    * localCheckpoint-ed so later re-executions don't depend on the
+    * temporary conf). The filter is a pure pre-filter (false positives
+    * re-checked by the join), so the result is row-for-row the plain
+    * join and the oracle is the unhinted ANSI join. PlanSpec gates the
+    * actual might_contain injection. */
+  private[graft] def runtimeFilterPlan(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+    val cust = s.read.parquet(p(dir, "customer"))
+      .filter(col("c_mktsegment") === "BUILDING")
+    ev.join(cust.hint("merge"), col("user_id") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        max("event_id").as("max_event"))
+      .orderBy("c_nationkey")
+  }
+
+  private[graft] val runtimeFilterConfs = Map(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // default 10GB — far above any test corpus; the POINT of the rule is
+    // a huge application side, so at test scale we lower the bar to
+    // demonstrate the injection the 100-TB plan gets for free
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    // InjectRuntimeFilter skips creation sides it could broadcast-join
+    // (a broadcast join has no application-side shuffle to save) — at
+    // 100 TB a real dim is past the threshold; at test scale we disable
+    // auto-broadcast inside this query's scope to reproduce that regime
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  def q56RuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val saved = runtimeFilterConfs.keys
+      .map(k => k -> scala.util.Try(s.conf.get(k)).toOption).toMap
+    try {
+      runtimeFilterConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      runtimeFilterPlan(s, dir).localCheckpoint(true)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
+  val q56Sql: String =
+    """SELECT c_nationkey, count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  max(event_id)::BIGINT AS max_event
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ------------------- incremental snapshot consumption (S7 read side)
+
+  /** One shared CHECKPOINTED fixture crawl per JVM: per-wave snapshot
+    * commits into a TableIO dir whose manifests crawl_increments then
+    * consumes incrementally. Same corpus/rules as the in-memory fixture
+    * crawl, so RefCrawler's per-wave attribution is the oracle. */
+  private val ckptCrawlBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def checkpointedCrawlDir(s: SparkSession): String =
+    ckptCrawlBase.computeIfAbsent("t", _ => {
+      import s.implicits._
+      val corpus = FixtureCorpus.generate(fixtureParams).toDS.toDF
+      val seed = FixtureCorpus.seedUrl(fixtureParams)
+      val dir = tempDirCleaned("graft-ckpt-crawl-").toString
+      val tio = new graft.tableio.TableIO(dir, s)
+      new CrawlEngine(s, corpus, seed, fixtureRules, useSketch = true,
+        checkpoint = Some(tio)).run()
+      dir
+    })
+
+  /** S7 consumed INCREMENTALLY — the Iceberg incremental-scan read path:
+    * for each consecutive snapshot pair, ONLY the seen-table files the
+    * newer manifest added are read (TableIO.addedTable: a manifest
+    * file-list diff — no full-table read, no except). The driver oracle
+    * pins the UNION of all increments against the sequential
+    * RefCrawler's per-wave seen rows, so every row must arrive in
+    * exactly one increment: completeness AND disjointness at row level,
+    * projected to the layout-independent (wave, count, seq-range) slice.
+    * ResumeSpec gates the file-level properties (per-pair disjoint added
+    * sets, strictly-growing append manifests). */
+  def crawlIncrements(s: SparkSession, dir: String): DataFrame = {
+    val base = checkpointedCrawlDir(s)
+    val tio = new graft.tableio.TableIO(base, s)
+    val last = tio.latestId.getOrElse(
+      throw new IllegalStateException("no snapshots committed"))
+    val snaps = (0L to last).map(tio.read)
+    val incs = snaps.zipWithIndex.map { case (snap, i) =>
+      tio.addedTable(if (i == 0) None else Some(snaps(i - 1)), snap, "seen")
+    }
+    incs.reduce(_ unionByName _)
+      .groupBy("wave")
+      .agg(count(lit(1)).as("rows_added"),
+        min("seq").as("min_seq"), max("seq").as("max_seq"))
+      .orderBy("wave")
+  }
+
+  /** §2.10 part 7: watermark-BOUNDED streaming dedup
+    * (Streaming.dedupWithinWatermark) — the state-evicting form of q24's
+    * lifetime seen-set. Two deterministic micro-batches (mtime-ordered,
+    * maxFilesPerTrigger=1): batch 0 = every event, batch 1 = a replayed
+    * duplicate slice (event_id % 3 = 0 — an upstream at-least-once
+    * redelivery). Every replayed row is either matched against live
+    * dedup state or dropped by the watermark as late — both suppress
+    * it — so the append-mode output is each event exactly once: the
+    * plain events table, which is the oracle. */
+  def q58StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Streaming
+    val ev = s.read.parquet(p(dir, "events"))
+      // watermark needs TIMESTAMP (with tz); session tz is UTC, so the
+      // cast from the testdata's NTZ is value-preserving (same as q52)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val streamDir = tempDirCleaned("graft-stream-dedup-")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = tempDirCleaned("graft-stream-stage-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime); ()
+    }
+    val t0 = ((System.currentTimeMillis() / 1000) - 300) * 1000
+    stage(ev, "0-original.parquet", t0)
+    stage(ev.filter(pmod(col("event_id"), lit(3)) === 0),
+      "1-replay.parquet", t0 + 60000)
+    val stream = s.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val name = "q58_stream_dedup_result"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val ckpt = tempDirCleaned("graft-stream-ckpt-").toString
+    val q = Streaming.dedupWithinWatermark(stream)
+      .select("event_id", "user_id", "event_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("event_id")
+  }
+
+  val q58Sql: String =
+    """SELECT event_id, user_id, event_type FROM events
+      |ORDER BY event_id""".stripMargin
 }

@@ -26,6 +26,7 @@ object SparkEntry {
     "crawl_metrics" -> (Queries.crawlMetrics _),
     "crawl_lineage" -> (Queries.crawlLineage _),
     "crawl_fetched" -> (Queries.crawlFetched _),
+    "crawl_increments" -> (Queries.crawlIncrements _),
     "extract_testcases" -> (Queries.extractTestcases _),
     "url_canon" -> (Queries.urlCanon _),
     // web.py analytics (A2/A3/G1-G5)
@@ -106,7 +107,15 @@ object SparkEntry {
     // stream-stream interval join (attribution)
     "q52_stream_join" -> (Queries.q52StreamJoin _),
     // salted-key skew-mitigated shuffle join
-    "q53_skew_join" -> (Queries.q53SkewJoin _))
+    "q53_skew_join" -> (Queries.q53SkewJoin _),
+    // SQL-replayable count-min sketch heavy hitters
+    "q54_cms_topk" -> (Queries.q54CmsTopk _),
+    // 2-D z-order layout with footer-gated two-dim file skipping
+    "q55_zorder_layout" -> (Queries.q55ZorderLayout _),
+    // runtime bloom-filter join pruning (injected might_contain)
+    "q56_runtime_filter" -> (Queries.q56RuntimeFilter _),
+    // watermark-bounded streaming dedup (state-evicting seen-set)
+    "q58_stream_dedup" -> (Queries.q58StreamDedup _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -167,5 +176,9 @@ object SparkEntry {
     "q50_shard_export" -> Queries.q50Sql,
     "q51_time_pruning" -> Queries.q51Sql,
     "q52_stream_join" -> Queries.q52Sql,
-    "q53_skew_join" -> Queries.q53Sql)
+    "q53_skew_join" -> Queries.q53Sql,
+    "q54_cms_topk" -> Queries.q54Sql,
+    "q55_zorder_layout" -> Queries.q55Sql,
+    "q56_runtime_filter" -> Queries.q56Sql,
+    "q58_stream_dedup" -> Queries.q58Sql)
 }

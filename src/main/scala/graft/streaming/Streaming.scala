@@ -146,6 +146,22 @@ object Streaming {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
 
+  /**
+   * Watermark-BOUNDED streaming dedup (§2.10, part 7):
+   * `dropDuplicatesWithinWatermark` keys state by event_id but — unlike
+   * `firstSeenUrls`' lifetime seen-set — EVICTS a key's state once the
+   * watermark passes its event time plus the delay. State is therefore
+   * O(duplication window), not O(distinct keys ever) — the only dedup
+   * shape that runs forever on a 100-TB firehose. Exact whenever
+   * duplicates arrive within the watermark of the original, i.e. the
+   * standard contract of upstream at-least-once delivery with bounded
+   * replay lag (a producer retry, a Kafka rebalance replay).
+   */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch twin of firstSeenUrls (for test equivalence). */
   def firstSeenUrlsBatch(urls: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -174,6 +174,26 @@ class TableIO(baseDir: String, spark: SparkSession) {
     spark.read.parquet(paths: _*)
   }
 
+  /** Iceberg-style INCREMENTAL scan: the rows `name` gained between two
+    * snapshots, read from the manifest FILE-LIST diff alone — never a
+    * full-table read + except. Valid between APPEND snapshots (the
+    * engine's per-wave commits); a compaction rewrites the file list, so
+    * incremental consumers restart from the compacted snapshot — exactly
+    * Iceberg's incremental-read contract, which skips replace snapshots.
+    * `prev = None` reads the whole of `cur` (the first commit). At scale
+    * this is how a downstream consumer (indexer, trainer) tails a crawl:
+    * O(delta) per poll, never O(corpus). */
+  def addedTable(prev: Option[Snapshot], cur: Snapshot, name: String): DataFrame = {
+    val prevFiles = prev.flatMap(_.tables.get(name))
+      .map(_.files.map(_.name).toSet).getOrElse(Set.empty[String])
+    val added = cur.tables(name).files.map(_.name).filterNot(prevFiles)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        table(cur, name).schema)
+    else spark.read.parquet(added.map(f => new Path(baseDir, f).toString): _*)
+  }
+
   /**
    * Iceberg-style snapshot expiry (expire_snapshots + the data-file
    * sweep): keep the newest `keepLast` manifests; older snapshots stop

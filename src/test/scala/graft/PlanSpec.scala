@@ -406,6 +406,55 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"no product joins:\n$p")
   }
 
+  test("q55 z-order layout: footer file-skipping on BOTH interleaved dims") {
+    val path = Queries.zorderLayoutPath(spark, sf)
+    val dayEnv = graft.tableio.ParquetStats.int64Envelopes(spark, path, "day_idx")
+    val ubEnv = graft.tableio.ParquetStats.int64Envelopes(spark, path, "ubucket")
+    val n = dayEnv.size
+    assert(n >= 8, s"expected a multi-file layout, got $n files")
+    // the q55 query box: day_idx in [9, 11] AND ubucket in [0, 7]
+    val dayHit = dayEnv.map(e => e._1 <= 11 && e._2 >= 9)
+    val ubHit = ubEnv.map(e => e._1 <= 7)
+    val both = dayHit.zip(ubHit).count { case (a, b) => a && b }
+    // time-dim skipping is real (some files' day envelopes miss the box)
+    assert(dayHit.count(identity) < n,
+      s"no day-dim pruning: ${dayEnv.mkString(",")}")
+    // second-dim skipping is real — the property a 1-D time sort can
+    // NEVER provide (every time-sorted file spans the full user domain)
+    assert(ubHit.count(identity) < n,
+      s"no ubucket-dim pruning: ${ubEnv.mkString(",")}")
+    // and the combined box scans a strict subset of either dim alone
+    assert(both < math.min(dayHit.count(identity) + 1, n),
+      s"combined box must prune: both=$both of $n")
+    // both derived-column predicates reach the scan (lift the 100-char
+    // metadata truncation so the full PushedFilters list is visible)
+    val savedLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val p =
+      try {
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        plan(Queries.q55ZorderLayout(spark, sf))
+      } finally spark.conf.set("spark.sql.maxMetadataStringLength", savedLen)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(day_idx,9".r
+      .findFirstIn(p).isDefined, s"day_idx lower bound not pushed:\n$p")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(ubucket,8".r
+      .findFirstIn(p).isDefined, s"ubucket bound not pushed:\n$p")
+  }
+
+  test("q56: runtime bloom filter injected into the fact-side scan") {
+    val saved = Queries.runtimeFilterConfs.keys
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
+    try {
+      Queries.runtimeFilterConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val p = plan(Queries.runtimeFilterPlan(spark, sf))
+      assert(p.toLowerCase.contains("might_contain"),
+        s"expected an injected bloom-filter probe on the fact side:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"merge hint must hold (injection targets shuffle joins):\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("no UDF on the robots admission path") {
     import spark.implicits._
     val queue = spark.range(100).select(

@@ -214,6 +214,45 @@ class ResumeSpec extends AnyFunSuite {
     assert(ck == im, "checkpointed seen must equal in-memory seen")
   }
 
+  test("incremental consumer: added-file reads are disjoint and complete") {
+    val dir = tmpDir("increments")
+    val io = new TableIO(dir, spark)
+    new CrawlEngine(spark, corpus.toDF, seed, rules,
+      checkpoint = Some(io)).run()
+    val last = io.latestId.get
+    val snaps = (0L to last).map(io.read)
+    // append model: manifests only GROW between commits (the fixture run
+    // stays inside the compaction window) — the precondition that makes
+    // a manifest file-list diff a valid incremental read
+    snaps.sliding(2).foreach { pair =>
+      if (pair.size == 2) {
+        val fa = pair(0).tables("seen").files.map(_.name).toSet
+        val fb = pair(1).tables("seen").files.map(_.name).toSet
+        assert(fa.subsetOf(fb),
+          s"append manifests must grow; dropped: ${fa -- fb}")
+      }
+    }
+    // per-pair added-file sets never overlap (each file consumed once)
+    val added = snaps.zipWithIndex.map { case (snap, i) =>
+      val prev =
+        if (i == 0) Set.empty[String]
+        else snaps(i - 1).tables("seen").files.map(_.name).toSet
+      snap.tables("seen").files.map(_.name).toSet -- prev
+    }
+    added.combinations(2).foreach { pair =>
+      assert((pair(0) & pair(1)).isEmpty,
+        s"added-file sets overlap: ${pair(0) & pair(1)}")
+    }
+    // union of the incremental READS == the full latest table, row-exact
+    val union = snaps.zipWithIndex.map { case (snap, i) =>
+      io.addedTable(if (i == 0) None else Some(snaps(i - 1)), snap, "seen")
+    }.reduce(_ unionByName _)
+    val full = io.table(io.latest.get, "seen")
+    assert(union.count() == full.count(), "increments must cover the table")
+    assert(union.exceptAll(full).isEmpty && full.exceptAll(union).isEmpty,
+      "incremental union must equal the full table as a multiset")
+  }
+
   test("politeness budget x checkpoint x kill/resume matches the sequential oracle") {
     // chunked waves append SEVERAL delta fragments per table per wave —
     // the incremental-commit path ResumeSpec's unbudgeted cases miss

@@ -631,4 +631,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() == src.count())
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
+
+  test("q54 cms: estimates dominate exact counts, deterministic top-10") {
+    val rows = graft.Queries.q54CmsTopk(spark, sf).collect()
+    assert(rows.length == 10, s"expected a top-10, got ${rows.length}")
+    // the defining CMS guarantee: min-over-rows never under-counts
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CMS under-counted user ${r.getLong(0)}: est=${r.getLong(1)} " +
+          s"exact=${r.getLong(2)}")
+    }
+    val ests = rows.map(_.getLong(1)).toSeq
+    assert(ests == ests.sorted.reverse, s"top-10 not est-descending: $ests")
+    // md5-derived hashes: a re-run reproduces the exact same report
+    val again = graft.Queries.q54CmsTopk(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "CMS report must be bit-deterministic across runs")
+  }
+
+  test("q55 z-order layout: content-preserving rewrite") {
+    val out = graft.Queries.zorderLayoutPath(spark, sf)
+    val src = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id")
+    val back = spark.read.parquet(out).select("event_id", "user_id")
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
 }

@@ -91,6 +91,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("watermark-bounded dedup: replayed duplicates suppressed exactly") {
+    val dir = Files.createTempDirectory("graft-stream-dd-").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+    // each event once PLUS a replayed (at-least-once redelivery) slice
+    ev.unionAll(ev.filter(col("event_id") % 7 === 0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema("event_id BIGINT, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = Streaming.dedupWithinWatermark(stream)
+      .writeStream.outputMode("append").format("memory").queryName("ddwm")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ddwm").select("event_id").as[Long].collect().sorted
+    val want = ev.select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq,
+      "dedup must emit each event exactly once")
+    // and it ran as the state-EVICTING dedup operator, not a lifetime set
+    val ops = q.recentProgress.flatMap(_.stateOperators).map(_.operatorName)
+    assert(ops.exists(_.toLowerCase.contains("dedupe")),
+      s"expected a dedupe state operator, got: ${ops.toSeq}")
+  }
+
   test("stream-stream interval join == batch interval join (q52 twin)") {
     val got = graft.Queries.q52StreamJoin(spark, sf)
       .as[(Long, Long, Long, Long)].collect.toSeq
