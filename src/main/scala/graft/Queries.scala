@@ -2265,4 +2265,158 @@ object Queries {
   val q58Sql: String =
     """SELECT event_id, user_id, event_type FROM events
       |ORDER BY event_id""".stripMargin
+
+  // ------------------------- sequences, CoW merge, schema evolution
+
+  /** Ordered per-key sequence aggregation — the per-user event PATH a
+    * training pipeline feeds to sequence models (next-event prediction,
+    * session embedding). ONE hash-agg shuffle: collect_list gathers each
+    * user's (ts, event_id, event_type) triples (state is O(events per
+    * key) — the same bound any sequence featurizer needs), array_sort
+    * totally orders them (event_id breaks ts ties, so the path is
+    * deterministic — collect_list alone has no order), and transform +
+    * array_join project the type sequence. Strings and counts are exact,
+    * so the oracle (string_agg ... ORDER BY ts, event_id) hash-matches.
+    * At 100 TB: per-key state is the honest cost of sequences; keys with
+    * pathological cardinality get capped upstream (q21's politeness cap
+    * is the same pattern) — there is no shuffle-free way to build an
+    * ordered per-key sequence. */
+  def q57EventPaths(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+    ev.groupBy("user_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q57Sql: String =
+    """SELECT user_id,
+      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+      |  count(*)::BIGINT AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** One shared copy-on-write MERGE fixture per sf dir: the events table
+    * committed under a range layout (disjoint event_id envelopes — the
+    * layout q51 demonstrates), then upserted with a CLUSTERED correction
+    * batch (event_id < 1000 — late CDC for the oldest slice) plus a
+    * pure-insert backfill slice (event_id + 10^6, beyond every
+    * envelope). Both slices derive deterministically from the source
+    * table, so plain SQL reproduces the merge result. */
+  private val mergeUpsertBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def mergeUpdates(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+    ev.filter(col("event_id") < 1000)
+      .withColumn("event_type", lit("corrected"))
+      .withColumn("value", lit(0.0))
+      .unionByName(
+        ev.filter(pmod(col("event_id"), lit(100)) === 0)
+          .withColumn("event_id", col("event_id") + lit(1000000L))
+          .withColumn("event_type", lit("backfill"))
+          .withColumn("value", lit(1.0)))
+  }
+  private[graft] def mergedEventsDir(s: SparkSession, dir: String): String =
+    mergeUpsertBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-merge-").toString
+      val tio = new graft.tableio.TableIO(out, s)
+      val snap0 = tio.commit(Map("src" -> "events"), Map("events" ->
+        s.read.parquet(p(dir, "events"))
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")))
+      tio.mergeTable(snap0, "events", mergeUpdates(s, dir), "event_id")
+      out
+    })
+
+  /** Iceberg copy-on-write MERGE (TableIO.mergeTable) on the driver
+    * surface: upsert a clustered correction batch + an insert-only
+    * backfill into a range-laid-out events table, rewriting ONLY the
+    * files whose footer key-envelope intersects the update keys (1 of 8
+    * here; ResumeSpec gates the file-level contract — preserved entries
+    * verbatim, no matched key in any carried file). The query reads the
+    * merged snapshot back and aggregates it, so the driver oracle pins
+    * the full MERGE semantics: matched keys replaced, unmatched
+    * inserted, everything else byte-identical. */
+  def q59MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tio = new graft.tableio.TableIO(mergedEventsDir(s, dir), s)
+    tio.table(tio.latest.get, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("user_id").as("sum_users"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q59Sql: String =
+    """WITH updates AS (
+      |  SELECT event_id, ts, user_id, 'corrected' AS event_type,
+      |         0.0 AS value, props
+      |  FROM events WHERE event_id < 1000
+      |  UNION ALL
+      |  SELECT event_id + 1000000, ts, user_id, 'backfill', 1.0, props
+      |  FROM events WHERE event_id % 100 = 0),
+      |merged AS (
+      |  SELECT * FROM events
+      |  WHERE event_id NOT IN (SELECT event_id FROM updates)
+      |  UNION ALL SELECT * FROM updates)
+      |SELECT event_type, count(*)::BIGINT AS n_events,
+      |  sum(user_id)::BIGINT AS sum_users,
+      |  round(sum(value), 2) AS total_value
+      |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** One shared schema-evolution fixture: documents committed under the
+    * original 5-column schema, then a delta APPENDED under an evolved
+    * schema (+`quality` double — a scoring stage added mid-corpus). The
+    * old files are never rewritten; reconciliation happens at read time
+    * (TableIO.tableEvolved), old rows surfacing quality as null. */
+  private val evolveBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def evolvedDocsDir(s: SparkSession, dir: String): String =
+    evolveBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-evolve-").toString
+      val tio = new graft.tableio.TableIO(out, s)
+      val docs = s.read.parquet(p(dir, "documents"))
+      val snap0 = tio.commit(Map("stage" -> "v0"),
+        Map("docs" -> docs.filter(col("doc_id") < 400)))
+      val delta = docs.filter(col("doc_id") >= 400)
+        .withColumn("quality",
+          pmod(col("n_chars"), lit(7)).cast("double") / 10.0)
+      val tl = snap0.tables("docs")
+      tio.commitWrites(Map("stage" -> "v1"),
+        Map("docs" -> graft.tableio.TableWrite(delta, tl.files, tl.rows)))
+      out
+    })
+
+  /** ADD-COLUMN schema evolution on the driver surface (the Iceberg
+    * evolution model, additive case): a table whose newer files carry a
+    * column the older files predate, read through one reconciled schema —
+    * no rewrite of history, O(files) extra planning, old rows null. The
+    * aggregate exposes both populations (n_docs counts every row,
+    * n_scored only rows the evolved files contributed), so the oracle
+    * pins the reconciliation semantics, not just the row count. */
+  def q60SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tio = new graft.tableio.TableIO(evolvedDocsDir(s, dir), s)
+    tio.tableEvolved(tio.latest.get, "docs")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count("quality").as("n_scored"),
+        round(sum("quality"), 1).as("sum_quality"))
+      .orderBy("source")
+  }
+
+  val q60Sql: String =
+    """WITH evolved AS (
+      |  SELECT doc_id, text, lang, source, n_chars, NULL::DOUBLE AS quality
+      |  FROM documents WHERE doc_id < 400
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |         (n_chars % 7)::DOUBLE / 10.0
+      |  FROM documents WHERE doc_id >= 400)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  count(quality)::BIGINT AS n_scored,
+      |  round(sum(quality), 1) AS sum_quality
+      |FROM evolved GROUP BY source ORDER BY source""".stripMargin
 }

@@ -115,7 +115,13 @@ object SparkEntry {
     // runtime bloom-filter join pruning (injected might_contain)
     "q56_runtime_filter" -> (Queries.q56RuntimeFilter _),
     // watermark-bounded streaming dedup (state-evicting seen-set)
-    "q58_stream_dedup" -> (Queries.q58StreamDedup _))
+    "q58_stream_dedup" -> (Queries.q58StreamDedup _),
+    // ordered per-key sequence aggregation (event paths)
+    "q57_event_paths" -> (Queries.q57EventPaths _),
+    // copy-on-write MERGE with footer-envelope file pruning
+    "q59_merge_upsert" -> (Queries.q59MergeUpsert _),
+    // add-column schema evolution reconciled at read time
+    "q60_schema_evolution" -> (Queries.q60SchemaEvolution _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -180,5 +186,8 @@ object SparkEntry {
     "q54_cms_topk" -> Queries.q54Sql,
     "q55_zorder_layout" -> Queries.q55Sql,
     "q56_runtime_filter" -> Queries.q56Sql,
-    "q58_stream_dedup" -> Queries.q58Sql)
+    "q58_stream_dedup" -> Queries.q58Sql,
+    "q57_event_paths" -> Queries.q57Sql,
+    "q59_merge_upsert" -> Queries.q59Sql,
+    "q60_schema_evolution" -> Queries.q60Sql)
 }

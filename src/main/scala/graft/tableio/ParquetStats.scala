@@ -81,6 +81,33 @@ object ParquetStats {
     }
   }
 
+  /** Footer (min, max, rows) of an INT64 column for ONE data file — the
+    * per-file stats an Iceberg manifest carries, and exactly what
+    * copy-on-write MERGE pruning needs: a file can hold a matched key
+    * only if its envelope contains one. Driver-side metadata read. */
+  def int64FileStats(spark: SparkSession, filePath: String,
+                     column: String): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(filePath), conf))
+    try {
+      val stats = r.getFooter.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala
+          .filter(_.getPath.toDotString == column).map(_.getStatistics)
+      }
+      require(stats.nonEmpty, s"no stats for $column in $filePath")
+      def asLong(o: Any): Long = o match {
+        case l: java.lang.Long => l.longValue
+        case other => other.toString.toLong
+      }
+      (stats.map(s => asLong(s.genericGetMin)).min,
+        stats.map(s => asLong(s.genericGetMax)).max,
+        r.getRecordCount)
+    } finally r.close()
+  }
+
   /** Total rows of a parquet file or directory, from footers only. */
   def rowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration

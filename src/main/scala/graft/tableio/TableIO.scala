@@ -195,6 +195,80 @@ class TableIO(baseDir: String, spark: SparkSession) {
   }
 
   /**
+   * Iceberg COPY-ON-WRITE MERGE (upsert) on an integer-keyed table:
+   * `updates` rows REPLACE same-key rows of `name`; update keys the table
+   * doesn't hold are inserted. Only the data files whose parquet-footer
+   * key envelope CAN contain a matched key are rewritten — every other
+   * file's manifest entry is carried into the new snapshot verbatim
+   * (never read, never copied): at 100 TB a clustered correction batch
+   * (late CDC for one day, a GDPR purge for one id range) rewrites a few
+   * files, not the table. Pruning is envelope-sound (false positives
+   * rewrite an extra file; false negatives are impossible), so carried
+   * files can never hold a matched key. The hit-test broadcasts the
+   * O(files) envelope list and semi-joins the UPDATE side against it —
+   * the update set never collects to the driver. Pure-insert merges
+   * (no envelope hit) rewrite nothing and just append one delta file.
+   * Other tables in the snapshot are carried forward untouched.
+   *
+   * Precondition: `updates` is key-unique (callers dedupe; a MERGE with
+   * two rows for one key has no defined winner in Iceberg either).
+   * Returns the committed snapshot; its meta records rewritten/preserved
+   * file counts (the Iceberg commit-summary fields).
+   */
+  def mergeTable(cur: Snapshot, name: String, updates: DataFrame,
+                 keyCol: String,
+                 meta: Map[String, String] = Map.empty): Snapshot = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val stats = cur.tables(name).files.map { f =>
+      val (lo, hi, rows) = ParquetStats.int64FileStats(
+        spark, new Path(baseDir, f.name).toString, keyCol)
+      (f, lo, hi, rows)
+    }
+    val envDf = spark.createDataFrame(
+      stats.zipWithIndex.map { case ((_, lo, hi, _), i) => (i, lo, hi) })
+      .toDF("__fid", "__lo", "__hi")
+    val touchedIds = updates
+      .select(col(keyCol).cast("long").as("__k")).distinct()
+      .join(broadcast(envDf),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+      .select("__fid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val (touched, untouched) =
+      stats.zipWithIndex.partition(s => touchedIds(s._2))
+    val rewritten = {
+      val base =
+        if (touched.isEmpty) updates.limit(0)
+        else spark.read.parquet(touched.map { case ((f, _, _, _), _) =>
+            new Path(baseDir, f.name).toString }: _*)
+          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      base.unionByName(updates)
+    }
+    val others = (cur.tables - name).map { case (n, tl) =>
+      n -> TableWrite(table(cur, n).limit(0), tl.files, tl.rows)
+    }
+    commitWrites(
+      meta ++ Map(
+        "merge.table" -> name,
+        "merge.rewritten_files" -> touched.size.toString,
+        "merge.preserved_files" -> untouched.size.toString),
+      others ++ Map(name -> TableWrite(rewritten,
+        untouched.map(_._1._1), untouched.map(_._1._4).sum)))
+  }
+
+  /** Read a table with ADD-COLUMN schema evolution reconciled at read
+    * time (Iceberg's evolution model, restricted to the additive case
+    * parquet name-based merging supports): files written before the
+    * column was added simply lack it, and their rows surface it as null.
+    * `mergeSchema` unions the footer schemas across the manifest's file
+    * list — an O(files) planning cost, which is why it's a separate
+    * method and not the default `table` read path. */
+  def tableEvolved(snap: Snapshot, name: String): DataFrame = {
+    val paths = snap.tables(name).files
+      .map(f => new Path(baseDir, f.name).toString)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /**
    * Iceberg-style snapshot expiry (expire_snapshots + the data-file
    * sweep): keep the newest `keepLast` manifests; older snapshots stop
    * being time-travelable and any data file NO KEPT MANIFEST references

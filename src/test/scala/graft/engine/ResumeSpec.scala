@@ -253,6 +253,85 @@ class ResumeSpec extends AnyFunSuite {
       "incremental union must equal the full table as a multiset")
   }
 
+  test("copy-on-write merge: only envelope-hit files rewritten, rest carried verbatim") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpDir("merge")
+    val io = new TableIO(dir, spark)
+    val base = spark.range(0, 4000).select(
+      col("id").as("k"), (col("id") % 5).cast("string").as("tag"),
+      lit(1L).as("n"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    val s0 = io.commit(Map("t" -> "base"), Map("t" -> base))
+    // clustered corrections (keys 0..499) + pure inserts (beyond every
+    // envelope) — the realistic CDC shape merge pruning exists for
+    val updates = spark.range(0, 500)
+      .select(col("id").as("k"), lit("fixed").as("tag"), lit(2L).as("n"))
+      .unionByName(spark.range(0, 100).select(
+        (col("id") + 100000L).as("k"), lit("new").as("tag"), lit(3L).as("n")))
+    val s1 = io.mergeTable(s0, "t", updates, "k")
+    val f0 = s0.tables("t").files
+    val f1 = s1.tables("t").files
+    val preserved = f0.map(_.name).toSet & f1.map(_.name).toSet
+    assert(preserved.nonEmpty, "pruning must carry untouched files forward")
+    assert(preserved.size < f0.size, "the hit file must be rewritten")
+    // carried manifest entries are VERBATIM (same name, same bytes)
+    f1.filter(f => preserved(f.name)).foreach { f =>
+      assert(f0.find(_.name == f.name).get.bytes == f.bytes)
+    }
+    assert(s1.meta("merge.rewritten_files").toInt == f0.size - preserved.size)
+    // envelope soundness: no carried file contains a matched key
+    val carried = spark.read.parquet(preserved.map(n => s"$dir/$n").toSeq: _*)
+    assert(carried.join(updates.select("k"), Seq("k"), "left_semi").count() == 0,
+      "a carried file holds a matched key — pruning is unsound")
+    // row-exact upsert semantics + manifest row stat
+    val expect = base.join(updates.select("k"), Seq("k"), "left_anti")
+      .unionByName(updates)
+    val got = io.table(s1, "t")
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "merged table must equal anti-join(base) union updates as a multiset")
+    assert(s1.tables("t").rows == expect.count())
+  }
+
+  test("insert-only merge rewrites nothing: every base file carried") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val io = new TableIO(tmpDir("merge-ins"), spark)
+    val base = spark.range(0, 1000).select(col("id").as("k"), lit(1L).as("n"))
+      .repartitionByRange(4, col("k"))
+    val s0 = io.commit(Map.empty, Map("t" -> base))
+    val s1 = io.mergeTable(s0, "t",
+      spark.range(0, 50).select((col("id") + 5000L).as("k"), lit(2L).as("n")),
+      "k")
+    val f0 = s0.tables("t").files.map(_.name).toSet
+    assert(s1.meta("merge.rewritten_files").toInt == 0)
+    assert(f0.subsetOf(s1.tables("t").files.map(_.name).toSet),
+      "an insert-only merge must carry every base file")
+    assert(io.table(s1, "t").count() == 1050)
+  }
+
+  test("schema evolution: appended column reconciles at read, old rows null") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val io = new TableIO(tmpDir("evolve"), spark)
+    val old = spark.range(0, 300).select(col("id").as("k"), lit("a").as("tag"))
+    val s0 = io.commit(Map.empty, Map("t" -> old))
+    val tl = s0.tables("t")
+    val delta = spark.range(300, 400).select(col("id").as("k"),
+      lit("b").as("tag"), (col("id") % 3).as("score"))
+    val s1 = io.commitWrites(Map.empty,
+      Map("t" -> graft.tableio.TableWrite(delta, tl.files, tl.rows)))
+    // old files untouched on disk (evolution never rewrites history)
+    assert(tl.files.map(_.name).toSet
+      .subsetOf(s1.tables("t").files.map(_.name).toSet))
+    val evolved = io.tableEvolved(s1, "t")
+    assert(evolved.columns.toSeq == Seq("k", "tag", "score"))
+    assert(evolved.count() == 400)
+    assert(evolved.filter(col("score").isNull).count() == 300,
+      "pre-evolution rows must surface the new column as null")
+    assert(evolved.filter(col("score").isNotNull).count() == 100)
+    // the non-evolved read path still works on the old schema's columns
+    assert(io.table(s1, "t").select("k").count() == 400)
+  }
+
   test("politeness budget x checkpoint x kill/resume matches the sequential oracle") {
     // chunked waves append SEVERAL delta fragments per table per wave —
     // the incremental-commit path ResumeSpec's unbudgeted cases miss

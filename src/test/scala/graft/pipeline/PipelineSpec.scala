@@ -649,6 +649,27 @@ class PipelineSpec extends AnyFunSuite {
       "CMS report must be bit-deterministic across runs")
   }
 
+  test("q57 event paths: ts order with event_id tie-break, exact on a hand case") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-q57-").toString
+    // user 1: a ts TIE between event_ids 11 and 10 — the path must order
+    // by event_id within the tie, regardless of collect order
+    spark.createDataFrame(Seq(
+      (11L, "2024-01-01 00:00:05", 1L, "view"),
+      (10L, "2024-01-01 00:00:05", 1L, "click"),
+      (12L, "2024-01-01 00:00:01", 1L, "open"),
+      (20L, "2024-01-01 00:00:09", 2L, "buy")))
+      .toDF("event_id", "s", "user_id", "event_type")
+      .select(col("event_id"), expr("cast(s as timestamp_ntz)").as("ts"),
+        col("user_id"), col("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.Queries.q57EventPaths(spark, dir)
+      .select("user_id", "path", "n_events")
+      .as[(Long, String, Long)].collect.toSeq
+    assert(got == Seq((1L, "open>click>view", 3L), (2L, "buy", 1L)))
+  }
+
   test("q55 z-order layout: content-preserving rewrite") {
     val out = graft.Queries.zorderLayoutPath(spark, sf)
     val src = spark.read.parquet(s"$sf/events.parquet")
