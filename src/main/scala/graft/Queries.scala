@@ -2232,18 +2232,10 @@ object Queries {
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"))
     val streamDir = tempDirCleaned("graft-stream-dedup-")
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = tempDirCleaned("graft-stream-stage-")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
-      val target = new java.io.File(streamDir.toFile, name)
-      java.nio.file.Files.move(part.toPath, target.toPath)
-      target.setLastModified(mtime); ()
-    }
     val t0 = ((System.currentTimeMillis() / 1000) - 300) * 1000
-    stage(ev, "0-original.parquet", t0)
-    stage(ev.filter(pmod(col("event_id"), lit(3)) === 0),
-      "1-replay.parquet", t0 + 60000)
+    stageBatchFile(ev, streamDir, "0-original.parquet", t0)
+    stageBatchFile(ev.filter(pmod(col("event_id"), lit(3)) === 0),
+      streamDir, "1-replay.parquet", t0 + 60000)
     val stream = s.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
       .option("maxFilesPerTrigger", 1)
@@ -2419,4 +2411,147 @@ object Queries {
       |  count(quality)::BIGINT AS n_scored,
       |  round(sum(quality), 1) AS sum_quality
       |FROM evolved GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------- streaming→table sink, CoW delete, time-range windows
+
+  /** Stage a DataFrame as one deterministic micro-batch file (mtime-
+    * ordered; with maxFilesPerTrigger=1 the file source offers the files
+    * as separate batches in mtime order). Shared by q58/q61. */
+  private[graft] def stageBatchFile(df: DataFrame, streamDir: java.nio.file.Path,
+                                    name: String, mtime: Long): Unit = {
+    val tmp = tempDirCleaned("graft-stream-stage-")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+    val target = new java.io.File(streamDir.toFile, name)
+    java.nio.file.Files.move(part.toPath, target.toPath)
+    target.setLastModified(mtime); ()
+  }
+
+  /** §2.10 part 8: streaming INTO the snapshot store, exactly-once —
+    * `foreachBatch` + `Streaming.commitBatch`: each micro-batch lands as
+    * one TableIO append snapshot recording its batch id, so a replayed
+    * batch (foreachBatch is at-least-once around a crash) is detected
+    * and skipped — the transactional-sink recipe that lifts Spark's
+    * file/Kafka-source streams to exactly-once table appends, exactly
+    * how the Delta/Iceberg sinks do it (txnAppId + batchId). The query
+    * runs TWO deterministic micro-batches through the sink, then reads
+    * the committed table back and aggregates; since every event flows
+    * through exactly once, the oracle is the plain batch aggregation.
+    * StreamingSpec additionally gates the replay path (same batchId
+    * re-offered → no-op) and per-batch snapshot lineage. */
+  def q61StreamSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = s.read.parquet(p(dir, "events"))
+      .select("event_id", "user_id", "event_type", "value")
+    val streamDir = tempDirCleaned("graft-stream-sink-in-")
+    val t0 = ((System.currentTimeMillis() / 1000) - 300) * 1000
+    stageBatchFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      streamDir, "0-even.parquet", t0)
+    stageBatchFile(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      streamDir, "1-odd.parquet", t0 + 60000)
+    val out = tempDirCleaned("graft-stream-sink-out-").toString
+    val tio = new graft.tableio.TableIO(out, s)
+    val stream = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val ckpt = tempDirCleaned("graft-stream-ckpt-").toString
+    val q = stream.writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => {
+        graft.streaming.Streaming.commitBatch(tio, "events", df.toDF(), id); ()
+      })
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tio.table(tio.latest.get, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("event_id").as("sum_ids"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q61Sql: String =
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+      |  sum(event_id)::BIGINT AS sum_ids,
+      |  round(sum(value), 2) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** One shared copy-on-write DELETE fixture: documents committed under
+    * a doc_id range layout, then a RETENTION sweep deletes the oldest
+    * slice (doc_id < 50) via TableIO.deleteKeys — same footer-envelope
+    * pruning as q59's merge, so only the low-envelope file(s) rewrite
+    * and the rest of history carries verbatim. */
+  private val retentionBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def retentionDocsDir(s: SparkSession, dir: String): String =
+    retentionBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-retention-").toString
+      val tio = new graft.tableio.TableIO(out, s)
+      val docs = s.read.parquet(p(dir, "documents"))
+      val snap0 = tio.commit(Map("src" -> "documents"), Map("docs" ->
+        docs.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id")))
+      tio.deleteKeys(snap0, "docs",
+        docs.filter(col("doc_id") < 50).select("doc_id"), "doc_id")
+      out
+    })
+
+  /** Iceberg copy-on-write DELETE on the driver surface: a retention
+    * sweep (expire the oldest doc_id slice — the TTL shape every
+    * training corpus runs; a right-to-be-forgotten purge is the same
+    * call with a different key list). Files whose key envelope cannot
+    * hold a doomed key are never read or rewritten (1 of 8 here;
+    * ResumeSpec gates soundness + verbatim carry on the shared kernel
+    * via the merge cases). The oracle replays the delete in SQL. */
+  def q62RetentionDelete(s: SparkSession, dir: String): DataFrame = {
+    val tio = new graft.tableio.TableIO(retentionDocsDir(s, dir), s)
+    tio.table(tio.latest.get, "docs")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"))
+      .orderBy("source", "lang")
+  }
+
+  val q62Sql: String =
+    """SELECT source, lang, count(*)::BIGINT AS n_docs,
+      |  sum(n_chars)::BIGINT AS sum_chars,
+      |  min(doc_id)::BIGINT AS min_doc
+      |FROM documents WHERE doc_id >= 50
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  /** Time-RANGE window frames — the trailing-hour profile (burst
+    * detection, rate features) computed per event: unlike q7's
+    * cumulative ROWS frame, the frame edge is a VALUE bound (all peer
+    * rows with ts within the trailing hour), so the window must range-
+    * scan the ordered partition, not count rows. One shuffle on
+    * user_id + one sort; the frame evaluates in a single streaming pass
+    * per partition (Spark's RANGE frame keeps a sliding lower bound —
+    * no per-row rescan), which is the shape that survives 100 TB: cost
+    * is O(rows) after the one partition-sort, state is O(frame width).
+    * Outputs are exact integers (counts + id sums) on microsecond
+    * boundaries, both engines inclusive of exactly ts−1h. */
+  def q63RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    s.read.parquet(p(dir, "events"))
+      .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(col("event_id")).over(w).as("sum_ids_1h"))
+      .orderBy("event_id")
+  }
+
+  val q63Sql: String =
+    """SELECT event_id, user_id,
+      |  (count(*) OVER w)::BIGINT AS n_trailing_1h,
+      |  (sum(event_id) OVER w)::BIGINT AS sum_ids_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 }

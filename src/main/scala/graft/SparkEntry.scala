@@ -121,7 +121,13 @@ object SparkEntry {
     // copy-on-write MERGE with footer-envelope file pruning
     "q59_merge_upsert" -> (Queries.q59MergeUpsert _),
     // add-column schema evolution reconciled at read time
-    "q60_schema_evolution" -> (Queries.q60SchemaEvolution _))
+    "q60_schema_evolution" -> (Queries.q60SchemaEvolution _),
+    // exactly-once foreachBatch sink into the snapshot store
+    "q61_stream_sink" -> (Queries.q61StreamSink _),
+    // copy-on-write retention DELETE with envelope file pruning
+    "q62_retention_delete" -> (Queries.q62RetentionDelete _),
+    // trailing-hour time-RANGE window frames
+    "q63_rolling_window" -> (Queries.q63RollingWindow _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -189,5 +195,8 @@ object SparkEntry {
     "q58_stream_dedup" -> Queries.q58Sql,
     "q57_event_paths" -> Queries.q57Sql,
     "q59_merge_upsert" -> Queries.q59Sql,
-    "q60_schema_evolution" -> Queries.q60Sql)
+    "q60_schema_evolution" -> Queries.q60Sql,
+    "q61_stream_sink" -> Queries.q61Sql,
+    "q62_retention_delete" -> Queries.q62Sql,
+    "q63_rolling_window" -> Queries.q63Sql)
 }

@@ -162,6 +162,34 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /**
+   * Exactly-once TableIO sink for `foreachBatch` (§2.10, part 8): append
+   * the micro-batch as a new snapshot whose meta records the batch id.
+   * Spark's foreachBatch contract is at-least-once — after a crash
+   * between the sink write and the checkpoint commit, the restarted
+   * query RE-OFFERS the last batch with the SAME batchId — so the sink
+   * must be idempotent on batchId to lift it to exactly-once (the
+   * transactional-sink recipe from the Structured Streaming docs; Delta
+   * and Iceberg sinks record txnAppId/batchId the same way). A replayed
+   * or out-of-order batch id (≤ the latest committed) is skipped; the
+   * atomic `_latest` pointer swap means a torn commit is invisible and
+   * the replay cleanly re-commits. Returns whether a commit happened.
+   */
+  def commitBatch(tio: graft.tableio.TableIO, table: String,
+                  df: DataFrame, batchId: Long): Boolean = {
+    val latest = tio.latest
+    val lastBatch = latest.flatMap(_.meta.get("stream.batch_id"))
+      .map(_.toLong).getOrElse(-1L)
+    if (batchId <= lastBatch) false
+    else {
+      val tl = latest.flatMap(_.tables.get(table))
+      tio.commitWrites(Map("stream.batch_id" -> batchId.toString),
+        Map(table -> graft.tableio.TableWrite(df,
+          tl.map(_.files).getOrElse(Nil), tl.map(_.rows).getOrElse(0L))))
+      true
+    }
+  }
+
   /** Batch twin of firstSeenUrls (for test equivalence). */
   def firstSeenUrlsBatch(urls: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

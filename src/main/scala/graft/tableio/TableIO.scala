@@ -217,7 +217,31 @@ class TableIO(baseDir: String, spark: SparkSession) {
    */
   def mergeTable(cur: Snapshot, name: String, updates: DataFrame,
                  keyCol: String,
-                 meta: Map[String, String] = Map.empty): Snapshot = {
+                 meta: Map[String, String] = Map.empty): Snapshot =
+    copyOnWrite(cur, name, updates.select(updates(keyCol)), keyCol, "merge",
+      meta, survivors => survivors.unionByName(updates))
+
+  /** Iceberg copy-on-write DELETE on an integer-keyed table: drop every
+    * row whose key appears in `keys`, with the SAME footer-envelope file
+    * pruning as mergeTable — a retention sweep or right-to-be-forgotten
+    * purge over a clustered key slice rewrites only the files that can
+    * hold a doomed key; history outside the slice is carried verbatim. */
+  def deleteKeys(cur: Snapshot, name: String, keys: DataFrame,
+                 keyCol: String,
+                 meta: Map[String, String] = Map.empty): Snapshot =
+    copyOnWrite(cur, name, keys.select(keys(keyCol)), keyCol, "delete",
+      meta, identity)
+
+  /** Shared copy-on-write kernel: footer-envelope hit-test -> rewrite
+    * only touched files (their rows minus `keyDf` matches, then
+    * `finish` — union the updates for MERGE, identity for DELETE) ->
+    * commit with untouched manifest entries carried verbatim. The
+    * hit-test broadcasts the O(files) envelope list and semi-joins the
+    * key side against it — the key set never collects to the driver. */
+  private def copyOnWrite(cur: Snapshot, name: String, keyDf: DataFrame,
+                          keyCol: String, op: String,
+                          meta: Map[String, String],
+                          finish: DataFrame => DataFrame): Snapshot = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val stats = cur.tables(name).files.map { f =>
       val (lo, hi, rows) = ParquetStats.int64FileStats(
@@ -227,7 +251,7 @@ class TableIO(baseDir: String, spark: SparkSession) {
     val envDf = spark.createDataFrame(
       stats.zipWithIndex.map { case ((_, lo, hi, _), i) => (i, lo, hi) })
       .toDF("__fid", "__lo", "__hi")
-    val touchedIds = updates
+    val touchedIds = keyDf
       .select(col(keyCol).cast("long").as("__k")).distinct()
       .join(broadcast(envDf),
         col("__k") >= col("__lo") && col("__k") <= col("__hi"))
@@ -235,23 +259,20 @@ class TableIO(baseDir: String, spark: SparkSession) {
       .collect().map(_.getInt(0)).toSet
     val (touched, untouched) =
       stats.zipWithIndex.partition(s => touchedIds(s._2))
-    val rewritten = {
-      val base =
-        if (touched.isEmpty) updates.limit(0)
-        else spark.read.parquet(touched.map { case ((f, _, _, _), _) =>
-            new Path(baseDir, f.name).toString }: _*)
-          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      base.unionByName(updates)
-    }
+    val survivors =
+      if (touched.isEmpty) table(cur, name).limit(0)
+      else spark.read.parquet(touched.map { case ((f, _, _, _), _) =>
+          new Path(baseDir, f.name).toString }: _*)
+        .join(keyDf.distinct(), Seq(keyCol), "left_anti")
     val others = (cur.tables - name).map { case (n, tl) =>
       n -> TableWrite(table(cur, n).limit(0), tl.files, tl.rows)
     }
     commitWrites(
       meta ++ Map(
-        "merge.table" -> name,
-        "merge.rewritten_files" -> touched.size.toString,
-        "merge.preserved_files" -> untouched.size.toString),
-      others ++ Map(name -> TableWrite(rewritten,
+        s"$op.table" -> name,
+        s"$op.rewritten_files" -> touched.size.toString,
+        s"$op.preserved_files" -> untouched.size.toString),
+      others ++ Map(name -> TableWrite(finish(survivors),
         untouched.map(_._1._1), untouched.map(_._1._4).sum)))
   }
 

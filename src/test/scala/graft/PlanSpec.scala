@@ -455,6 +455,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 rolling window: one hash exchange, RANGE frame, no self-join") {
+    val p = plan(Queries.q63RollingWindow(spark, sf))
+    // the naive formulation is a self-join on ts-range (quadratic per hot
+    // user); the window form is one shuffle + one sort + a running frame
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange (user_id), got $hashEx:\n$p")
+    assert(p.contains("Window"), s"expected a Window operator:\n$p")
+    assert(p.contains("RangeFrame"),
+      s"expected a RANGE frame, not ROWS:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), s"no join may appear:\n$p")
+  }
+
   test("no UDF on the robots admission path") {
     import spark.implicits._
     val queue = spark.range(100).select(

@@ -309,6 +309,34 @@ class ResumeSpec extends AnyFunSuite {
     assert(io.table(s1, "t").count() == 1050)
   }
 
+  test("copy-on-write delete: retention sweep rewrites only the doomed slice's files") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("delete")
+    val io = new TableIO(dir, spark)
+    val base = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 5).as("g"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    val s0 = io.commit(Map.empty, Map("t" -> base))
+    // retention: expire the oldest key slice (clustered at the low end)
+    val s1 = io.deleteKeys(s0, "t",
+      spark.range(0, 300).select(col("id").as("k")), "k")
+    val f0 = s0.tables("t").files.map(_.name).toSet
+    val f1 = s1.tables("t").files.map(_.name).toSet
+    val preserved = f0 & f1
+    assert(preserved.nonEmpty, "pruning must carry untouched files")
+    assert(preserved.size < f0.size, "the doomed slice's file must rewrite")
+    assert(s1.meta("delete.rewritten_files").toInt == f0.size - preserved.size)
+    // envelope soundness: no carried file holds a doomed key
+    val carried = spark.read.parquet(preserved.map(n => s"$dir/$n").toSeq: _*)
+    assert(carried.filter(col("k") < 300).count() == 0)
+    val got = io.table(s1, "t")
+    val expect = base.filter(col("k") >= 300)
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "delete must equal a plain filter of the base table")
+    assert(s1.tables("t").rows == 3700)
+  }
+
   test("schema evolution: appended column reconciles at read, old rows null") {
     import org.apache.spark.sql.functions.{col, lit}
     val io = new TableIO(tmpDir("evolve"), spark)

@@ -114,6 +114,48 @@ class StreamingSpec extends AnyFunSuite {
       s"expected a dedupe state operator, got: ${ops.toSeq}")
   }
 
+  test("exactly-once sink: replayed batch ids are no-ops, restart commits nothing") {
+    val io = new graft.tableio.TableIO(
+      Files.createTempDirectory("graft-sink-").toString, spark)
+    val b0 = spark.range(0, 100).select(col("id").as("k"))
+    val b1 = spark.range(100, 150).select(col("id").as("k"))
+    assert(Streaming.commitBatch(io, "t", b0.toDF, 0L))
+    assert(Streaming.commitBatch(io, "t", b1.toDF, 1L))
+    // foreachBatch's at-least-once crash contract: the last batch is
+    // re-offered with the SAME id — the sink must make it a no-op
+    assert(!Streaming.commitBatch(io, "t", b1.toDF, 1L), "replay must no-op")
+    assert(!Streaming.commitBatch(io, "t", b0.toDF, 0L), "stale id must no-op")
+    assert(io.latestId.contains(1L), "replays must not create snapshots")
+    assert(io.table(io.latest.get, "t").count() == 150)
+    // per-batch snapshot lineage: batch 0 alone is time-travelable
+    assert(io.table(io.read(0L), "t").count() == 100)
+
+    // end-to-end: an AvailableNow restart over the same checkpoint with
+    // no new input commits nothing new
+    val inDir = Files.createTempDirectory("graft-sink-in-").toString
+    spark.range(0, 40).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt-").toString
+    val out = new graft.tableio.TableIO(
+      Files.createTempDirectory("graft-sink-out-").toString, spark)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("k BIGINT").parquet(inDir)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) => { Streaming.commitBatch(out, "t", df.toDF, id); () })
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); ()
+    }
+    runOnce()
+    val idAfterFirst = out.latestId
+    assert(idAfterFirst.isDefined)
+    assert(out.table(out.latest.get, "t").count() == 40)
+    runOnce() // restart, no new files
+    assert(out.latestId == idAfterFirst, "a no-input restart must not commit")
+    assert(out.table(out.latest.get, "t").count() == 40)
+  }
+
   test("stream-stream interval join == batch interval join (q52 twin)") {
     val got = graft.Queries.q52StreamJoin(spark, sf)
       .as[(Long, Long, Long, Long)].collect.toSeq
