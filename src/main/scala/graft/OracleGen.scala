@@ -63,6 +63,17 @@ object OracleGen {
     Map("wave" -> "INT", "rows_added" -> "BIGINT",
       "min_seq" -> "BIGINT", "max_seq" -> "BIGINT"), "wave")
 
+  /** Per-host seen counts for crawl_ivm: the incrementally-maintained
+    * view's final state must equal the full-table aggregation of the
+    * sequential crawler's seen rows. */
+  def crawlIvmSql: String = values(
+    ref.seen.groupBy(s => UrlRewrite.canonicalHost(s.url)).toSeq
+      .sortBy(_._1).map { case (h, rows) =>
+        Seq(q(h), rows.size.toString)
+      },
+    Seq("canonicalHost", "n_seen"),
+    Map("n_seen" -> "BIGINT"), "canonicalHost")
+
   def crawlOrderSql: String = values(
     ref.processed.zipWithIndex.map { case (p, i) =>
       Seq(p.wave.toString, i.toString, q(p.url), p.mode.toString,
@@ -304,6 +315,7 @@ object OracleGen {
   def all: Map[String, String] = Map(
     "crawl_seen" -> crawlSeenSql,
     "crawl_increments" -> crawlIncrementsSql,
+    "crawl_ivm" -> crawlIvmSql,
     "crawl_order" -> crawlOrderSql,
     "crawl_dump" -> crawlDumpSql,
     "crawl_edges" -> crawlEdgesSql,

@@ -2554,4 +2554,71 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
+
+  /** Edit-distance fuzzy matching — the entity-resolution staple (near-
+    * identical titles/headers from independent crawls of the same page)
+    * that MinHash misses when the edit is one typo in a short key. The
+    * classic blocked shape: a cheap deterministic BLOCK key (first 4
+    * chars of the lowercased 24-char prefix) turns the quadratic
+    * all-pairs levenshtein into one equi-join shuffle with per-block
+    * candidate sets; `levenshtein` (codegen'd, same classic definition
+    * in DuckDB) verifies candidates exactly, a<b halves the pairs. At
+    * 100 TB blocks are bounded by the key space (36^4 here) and hot
+    * blocks get the q14 treatment (caps + a second blocking pass on a
+    * different substring to recover recall for edits INSIDE the block
+    * key — the standard multi-pass blocking recipe; single-pass recall
+    * excludes those by construction and the oracle shares the block). */
+  def q64FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val k = s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("key"))
+      .withColumn("blk", substring(col("key"), 1, 4))
+    val a = k.select(col("blk"), col("doc_id").as("a_id"), col("key").as("a_key"))
+    val b = k.select(col("blk"), col("doc_id").as("b_id"), col("key").as("b_key"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id") &&
+        levenshtein(col("a_key"), col("b_key")) <= 3)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_key"), col("b_key")).cast("long").as("edit_dist"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val q64Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, lower(substr(text, 1, 24)) AS key,
+      |         substr(lower(substr(text, 1, 24)), 1, 4) AS blk
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  levenshtein(a.key, b.key)::BIGINT AS edit_dist
+      |FROM k a JOIN k b ON a.blk = b.blk
+      |WHERE a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Incremental view maintenance over the snapshot stream — the
+    * downstream-consumer pattern crawl_increments enables: a per-host
+    * seen-count VIEW maintained by merging each snapshot's O(delta)
+    * increment into the running state (count/sum are algebraic, so
+    * merge = re-aggregate state ∪ partial — never a rescan of history;
+    * per-step state is localCheckpoint-ed so lineage stays O(1) in
+    * snapshots, the same discipline as the crawl's wave loop). At 100 TB
+    * this is how a freshness-critical index/stats table follows a crawl:
+    * each poll costs O(new data) + O(|view|), not O(corpus). The final
+    * state must equal the full-table aggregation — the driver oracle
+    * pins it against the sequential RefCrawler's per-host attribution,
+    * and ResumeSpec pins every INTERMEDIATE state against a prefix
+    * recompute (the actual IVM invariant). */
+  def crawlIvm(s: SparkSession, dir: String): DataFrame = {
+    val tio = new graft.tableio.TableIO(checkpointedCrawlDir(s), s)
+    val last = tio.latestId.getOrElse(
+      throw new IllegalStateException("no snapshots committed"))
+    val snaps = (0L to last).map(tio.read)
+    val partials = snaps.zipWithIndex.map { case (snap, i) =>
+      tio.addedTable(if (i == 0) None else Some(snaps(i - 1)), snap, "seen")
+        .groupBy("canonicalHost").agg(count(lit(1)).as("n_seen"))
+    }
+    partials.reduceLeft { (state, partial) =>
+      state.unionByName(partial)
+        .groupBy("canonicalHost").agg(sum("n_seen").as("n_seen"))
+        .localCheckpoint()
+    }.orderBy("canonicalHost")
+  }
 }

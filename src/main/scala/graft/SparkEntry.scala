@@ -27,6 +27,7 @@ object SparkEntry {
     "crawl_lineage" -> (Queries.crawlLineage _),
     "crawl_fetched" -> (Queries.crawlFetched _),
     "crawl_increments" -> (Queries.crawlIncrements _),
+    "crawl_ivm" -> (Queries.crawlIvm _),
     "extract_testcases" -> (Queries.extractTestcases _),
     "url_canon" -> (Queries.urlCanon _),
     // web.py analytics (A2/A3/G1-G5)
@@ -127,7 +128,9 @@ object SparkEntry {
     // copy-on-write retention DELETE with envelope file pruning
     "q62_retention_delete" -> (Queries.q62RetentionDelete _),
     // trailing-hour time-RANGE window frames
-    "q63_rolling_window" -> (Queries.q63RollingWindow _))
+    "q63_rolling_window" -> (Queries.q63RollingWindow _),
+    // blocked edit-distance fuzzy matching (entity resolution)
+    "q64_fuzzy_match" -> (Queries.q64FuzzyMatch _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -198,5 +201,6 @@ object SparkEntry {
     "q60_schema_evolution" -> Queries.q60Sql,
     "q61_stream_sink" -> Queries.q61Sql,
     "q62_retention_delete" -> Queries.q62Sql,
-    "q63_rolling_window" -> Queries.q63Sql)
+    "q63_rolling_window" -> Queries.q63Sql,
+    "q64_fuzzy_match" -> Queries.q64Sql)
 }

@@ -468,6 +468,17 @@ class PlanSpec extends AnyFunSuite {
       && !p.contains("CartesianProduct"), s"no join may appear:\n$p")
   }
 
+  test("q64 fuzzy match: blocked equi-join, never a cartesian or nested loop") {
+    val p = plan(Queries.q64FuzzyMatch(spark, sf))
+    // the naive all-pairs levenshtein is a cartesian; blocking turns it
+    // into an equi-join on blk with a post-join exact verify
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match must stay a blocked equi-join:\n$p")
+    assert(p.toLowerCase.contains("levenshtein"),
+      s"exact verify must remain in the plan:\n$p")
+  }
+
   test("no UDF on the robots admission path") {
     import spark.implicits._
     val queue = spark.range(100).select(

@@ -360,6 +360,31 @@ class ResumeSpec extends AnyFunSuite {
     assert(io.table(s1, "t").select("k").count() == 400)
   }
 
+  test("incremental view maintenance: every intermediate state equals a prefix recompute") {
+    import org.apache.spark.sql.functions.{count => fcount, lit, sum => fsum}
+    val io = new TableIO(tmpDir("ivm"), spark)
+    new CrawlEngine(spark, corpus.toDF, seed, rules,
+      checkpoint = Some(io)).run()
+    val last = io.latestId.get
+    val snaps = (0L to last).map(io.read)
+    var state: org.apache.spark.sql.DataFrame = null
+    snaps.zipWithIndex.foreach { case (snap, i) =>
+      val partial = io
+        .addedTable(if (i == 0) None else Some(snaps(i - 1)), snap, "seen")
+        .groupBy("canonicalHost").agg(fcount(lit(1)).as("n_seen"))
+      state =
+        if (state == null) partial
+        else state.unionByName(partial).groupBy("canonicalHost")
+          .agg(fsum("n_seen").as("n_seen")).localCheckpoint()
+      // the IVM invariant: after merging increment i, the view equals a
+      // full recompute over snapshot i — at EVERY step, not just the end
+      val expect = io.table(snap, "seen")
+        .groupBy("canonicalHost").agg(fcount(lit(1)).as("n_seen"))
+      assert(state.exceptAll(expect).isEmpty && expect.exceptAll(state).isEmpty,
+        s"IVM state diverged from the prefix recompute at snapshot $i")
+    }
+  }
+
   test("politeness budget x checkpoint x kill/resume matches the sequential oracle") {
     // chunked waves append SEVERAL delta fragments per table per wave —
     // the incremental-commit path ResumeSpec's unbudgeted cases miss
