@@ -2606,6 +2606,47 @@ object Queries {
     * pins it against the sequential RefCrawler's per-host attribution,
     * and ResumeSpec pins every INTERMEDIATE state against a prefix
     * recompute (the actual IVM invariant). */
+  /** Snapshot time travel on the driver surface (S7's read-side
+    * contract, until now only sbt-gated): the same logical table read AT
+    * TWO VERSIONS — v0 (pre-merge) and v1 (post-merge) of the q59
+    * fixture — joined into a before/after profile. Each read plans only
+    * from that snapshot's manifest file list; history stays immutable
+    * under the append/CoW model, so auditing "what did the corpus look
+    * like before the correction batch" is a metadata operation, not a
+    * restore. The oracle recomputes both versions in SQL (v0 = the raw
+    * table, v1 = the q59 merge replay). */
+  def q65TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val tio = new graft.tableio.TableIO(mergedEventsDir(s, dir), s)
+    val before = tio.table(tio.read(0L), "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n_before"))
+    val after = tio.table(tio.read(1L), "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("event_type")
+  }
+
+  val q65Sql: String =
+    """WITH updates AS (
+      |  SELECT event_id, 'corrected' AS event_type
+      |  FROM events WHERE event_id < 1000
+      |  UNION ALL
+      |  SELECT event_id + 1000000, 'backfill'
+      |  FROM events WHERE event_id % 100 = 0),
+      |merged AS (
+      |  SELECT event_type FROM events
+      |  WHERE event_id NOT IN (SELECT event_id FROM updates)
+      |  UNION ALL SELECT event_type FROM updates),
+      |b AS (SELECT event_type, count(*) AS n_before FROM events GROUP BY 1),
+      |a AS (SELECT event_type, count(*) AS n_after FROM merged GROUP BY 1)
+      |SELECT coalesce(b.event_type, a.event_type) AS event_type,
+      |  coalesce(n_before, 0)::BIGINT AS n_before,
+      |  coalesce(n_after, 0)::BIGINT AS n_after
+      |FROM b FULL OUTER JOIN a ON b.event_type = a.event_type
+      |ORDER BY event_type""".stripMargin
+
   def crawlIvm(s: SparkSession, dir: String): DataFrame = {
     val tio = new graft.tableio.TableIO(checkpointedCrawlDir(s), s)
     val last = tio.latestId.getOrElse(

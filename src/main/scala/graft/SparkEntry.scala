@@ -130,7 +130,9 @@ object SparkEntry {
     // trailing-hour time-RANGE window frames
     "q63_rolling_window" -> (Queries.q63RollingWindow _),
     // blocked edit-distance fuzzy matching (entity resolution)
-    "q64_fuzzy_match" -> (Queries.q64FuzzyMatch _))
+    "q64_fuzzy_match" -> (Queries.q64FuzzyMatch _),
+    // snapshot time travel: the merge fixture read at two versions
+    "q65_time_travel" -> (Queries.q65TimeTravel _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -202,5 +204,6 @@ object SparkEntry {
     "q61_stream_sink" -> Queries.q61Sql,
     "q62_retention_delete" -> Queries.q62Sql,
     "q63_rolling_window" -> Queries.q63Sql,
-    "q64_fuzzy_match" -> Queries.q64Sql)
+    "q64_fuzzy_match" -> Queries.q64Sql,
+    "q65_time_travel" -> Queries.q65Sql)
 }
