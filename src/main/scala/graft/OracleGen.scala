@@ -141,6 +141,33 @@ object OracleGen {
     Map("wave" -> "INT", "processed_rows" -> "BIGINT",
       "error_rows" -> "BIGINT", "origin_bytes" -> "BIGINT"), "wave")
 
+  /** crawl_pagerank oracle: the INDEPENDENT edge list (RefCrawler's, not
+    * the engine's) rendered as VALUES, with the fixed-point PageRank
+    * recurrence computed BY DUCKDB via unrolled per-iteration CTEs —
+    * integer `//` ≡ Spark `div` on non-negative longs, so the replay is
+    * bit-identical (see GraphQueries.pagerank). */
+  def crawlPagerankSql(iters: Int = 3): String = {
+    val vs = ref.edges.keys.toSeq.sorted
+      .map { case (s0, d0) => s"(${q(s0)}, ${q(d0)})" }.mkString(",\n")
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS url, sum(p.r // o.d)::BIGINT AS c
+         |  FROM e JOIN outdeg o ON e.src = o.src
+         |  JOIN pr${i - 1} p ON p.url = e.src GROUP BY e.dst),
+         |pr$i AS (SELECT n.url,
+         |    (150000 + (85 * coalesce(c.c, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN c$i c ON n.url = c.url)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT src, dst FROM (VALUES
+       |$vs
+       |) AS t(src, dst)),
+       |nodes AS (SELECT src AS url FROM e UNION SELECT dst FROM e),
+       |outdeg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src),
+       |pr0 AS (SELECT url, 1000000::BIGINT AS r FROM nodes),
+       |$rounds
+       |SELECT url, r AS pagerank FROM pr$iters
+       |ORDER BY pagerank DESC, url""".stripMargin
+  }
+
   // ----------------------------------------------- web.py analytics twins
 
   def webMultipleSql: String = {
@@ -325,6 +352,7 @@ object OracleGen {
     "crawl_fetched" -> crawlFetchedSql,
     "crawl_metrics" -> crawlMetricsSql,
     "crawl_lineage" -> crawlLineageSql,
+    "crawl_pagerank" -> crawlPagerankSql(),
     "web_multiple" -> webMultipleSql,
     "web_stats" -> webStatsSql,
     "web_trace" -> webTraceSql,

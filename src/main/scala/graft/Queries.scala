@@ -2662,4 +2662,99 @@ object Queries {
         .localCheckpoint()
     }.orderBy("canonicalHost")
   }
+
+  // ------------- link analysis, index build, LM-model scoring (round 5)
+
+  /** Fixed-point integer PageRank over the fixture crawl's edge table —
+    * the link-analysis extension of A1's in-degree (web.py:122-128 ranks
+    * by raw count; PageRank weights a link by its source's own rank).
+    * Oracle: DuckDB recomputes the identical integer recurrence from
+    * RefCrawler's independent edge list (OracleGen.crawlPagerankSql) —
+    * the all-integer formulation is what makes a hash-exact oracle
+    * possible at all (see GraphQueries.pagerank for the scale shape). */
+  def crawlPagerank(s: SparkSession, dir: String): DataFrame =
+    GraphQueries.pagerank(fixtureCrawl(s).edges)
+
+  /** Inverted-index build — the search-index half of a crawl pipeline
+    * (what the fetched corpus is FOR): per term, the document-frequency
+    * and the HEAD SEGMENT of the posting list (the first `headK` doc_ids
+    * in doc order). Scale shape: per-doc DISTINCT terms first (one slim
+    * (term, doc_id) shuffle — the text never moves again); df is a plain
+    * term-keyed count (bounded state); the head segment is a row_number
+    * window capped at headK BEFORE the collect, so no reducer ever
+    * materializes an unbounded postings array even for stopword-grade
+    * terms — exactly how a real index shards hot posting lists into
+    * fixed-size segments (this query emits segment 0; the full list is
+    * the same plan keyed by (term, doc_id div headK)). Window and both
+    * aggs share the one term exchange. */
+  private[graft] def invertedIndex(docs: DataFrame, headK: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+    val dfT = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val head = toks.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= headK)
+      .groupBy("term")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings_head"))
+    dfT.join(head, Seq("term")).orderBy("term")
+  }
+
+  def q66InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndex(s.read.parquet(p(dir, "documents")), headK = 20)
+
+  val q66Sql: String =
+    """WITH toks AS (SELECT DISTINCT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text,'\s+'), x->x<>'')) AS term
+      |  FROM documents),
+      |d AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+      |r AS (SELECT term, doc_id, row_number() OVER (
+      |    PARTITION BY term ORDER BY doc_id) AS rk FROM toks),
+      |h AS (SELECT term, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+      |    AS postings_head FROM r WHERE rk <= 20 GROUP BY term)
+      |SELECT term, df, postings_head FROM d JOIN h USING (term)
+      |ORDER BY term""".stripMargin
+
+  /** Bigram language-model scoring — the CCNet/KenLM-style corpus-fit
+    * quality signal: train bigram counts on the corpus itself, prune the
+    * long tail (count < 2 — singleton grams carry no signal; exactly
+    * KenLM's pruning), score each document by how much of it the pruned
+    * model recognizes. All-integer outputs (occurrence counts and count
+    * sums — a log-probability would be un-oracleable float math; the
+    * integer hit mass ranks documents the same way). Scale shape: the
+    * model is one gram-keyed agg whose pruned result is VOCABULARY-sized
+    * (≪ corpus, broadcastable at 100 TB); the scoring pass joins doc
+    * grams to it and immediately re-aggregates per doc — the text column
+    * never shuffles, only (doc_id, gram) pairs. */
+  def q67BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val grams = s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.wordNgrams(
+          TextAnalysis.tokens(col("text")), 2)).as("g"))
+    val model = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    grams.join(model, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("c")).as("n_known"),
+        coalesce(sum("c"), lit(0L)).as("lm_hits"))
+      .orderBy("doc_id")
+  }
+
+  val q67Sql: String =
+    """WITH base AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text,'\s+'), x->x<>'') AS ts
+      |  FROM documents),
+      |grams AS (SELECT doc_id, unnest([array_to_string(ts[i:i+1],' ')
+      |  FOR i IN generate_series(1, greatest(len(ts)-1,0))]) AS g FROM base),
+      |model AS (SELECT g, count(*)::BIGINT AS c FROM grams GROUP BY g
+      |  HAVING count(*) >= 2)
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |  count(m.c)::BIGINT AS n_known,
+      |  coalesce(sum(m.c), 0)::BIGINT AS lm_hits
+      |FROM grams g LEFT JOIN model m USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -132,7 +132,11 @@ object SparkEntry {
     // blocked edit-distance fuzzy matching (entity resolution)
     "q64_fuzzy_match" -> (Queries.q64FuzzyMatch _),
     // snapshot time travel: the merge fixture read at two versions
-    "q65_time_travel" -> (Queries.q65TimeTravel _))
+    "q65_time_travel" -> (Queries.q65TimeTravel _),
+
+    "crawl_pagerank" -> (Queries.crawlPagerank _),
+    "q66_inverted_index" -> (Queries.q66InvertedIndex _),
+    "q67_bigram_lm" -> (Queries.q67BigramLm _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -205,5 +209,7 @@ object SparkEntry {
     "q62_retention_delete" -> Queries.q62Sql,
     "q63_rolling_window" -> Queries.q63Sql,
     "q64_fuzzy_match" -> Queries.q64Sql,
-    "q65_time_travel" -> Queries.q65Sql)
+    "q65_time_travel" -> Queries.q65Sql,
+    "q66_inverted_index" -> Queries.q66Sql,
+    "q67_bigram_lm" -> Queries.q67Sql)
 }

@@ -111,6 +111,46 @@ object GraphQueries {
   }
 
   /**
+   * Link-analysis extension over the crawl graph (the natural next
+   * question after A1's raw in-degree: popularity weighted by where the
+   * links come from): fixed-iteration PageRank in INTEGER fixed-point
+   * arithmetic. All math is long multiply/divide (`div` here ≡ DuckDB
+   * `//` on non-negative operands), so the result is bit-identically
+   * replayable in ANSI SQL — float PageRank can never be hash-oracled
+   * because summation order perturbs ULPs. Per iteration:
+   * rank'(v) = 0.15·scale + floor(0.85 · Σ_{u→v} floor(rank(u)/outdeg(u))),
+   * the standard simplified recurrence (dangling mass not redistributed —
+   * identical on both engines). Scale shape: each round is ONE dst-keyed
+   * hash agg + two equi-joins on src (outdeg and rank both key-partitioned
+   * with the edges — at 10^10 edges the rank join reuses the edges'
+   * hash partitioning); per-round localCheckpoint keeps the plan O(1) in
+   * iterations, the same discipline as Dedup.connectedComponents. Hot
+   * dst keys (the home-page every page links to) are plain agg skew —
+   * map-side partial aggregation absorbs them, no salting needed.
+   */
+  def pagerank(edges: DataFrame, iters: Int = 3,
+               scale: Long = 1000000L): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val nodes = e.select(col("src").as("url"))
+      .unionByName(e.select(col("dst").as("url"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    var rank = nodes.withColumn("r", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(outdeg, "src")
+        .join(rank.select(col("url").as("src"), col("r").as("pr")), "src")
+        .select(col("dst").as("url"), expr("pr div d").as("c"))
+        .groupBy("url").agg(sum("c").as("c"))
+      rank = nodes.join(contrib, Seq("url"), "left")
+        .selectExpr("url",
+          s"${scale * 15L / 100L}L + (85L * coalesce(c, 0L)) div 100L AS r")
+        .localCheckpoint(true)
+    }
+    rank.select(col("url"), col("r").as("pagerank"))
+      .orderBy(desc("pagerank"), asc("url"))
+  }
+
+  /**
    * G2 deepest_url (`web.py:106-114`): the URL furthest from root. One
    * multi-source BFS from root computing distances — O(depth) joins, not
    * O(N) traces like the reference.

@@ -34,6 +34,26 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(GraphQueries.deepest(spark, edges, "a") == ("d", 2))
   }
 
+  test("pagerank: integer fixed-point recurrence, hand-computed 3 iterations") {
+    // outdeg a=2 b=1 c=2; r0 = 1e6 each; per iteration
+    // r'(v) = 150000 + (85 * sum(r(u) div outdeg(u))) div 100:
+    //   i1: a=150000 b=1000000 c=1425000 d=575000
+    //   i2: a=150000 b=819375  c=1063750 d=755625
+    //   i3: a=150000 b=665843  c=910218  d=602093
+    val got = GraphQueries.pagerank(edges).as[(String, Long)].collect.toSeq
+    assert(got == Seq(("c", 910218L), ("b", 665843L), ("d", 602093L),
+      ("a", 150000L)))
+  }
+
+  test("pagerank: a source-only node keeps the base rank; sinks absorb") {
+    // x -> y only: y gets the full mass of x, x keeps base
+    val line = Seq(("x", "y", 1)).toDF("src", "dst", "wave")
+    val got = GraphQueries.pagerank(line, iters = 1)
+      .as[(String, Long)].collect.toMap
+    assert(got("x") == 150000L)
+    assert(got("y") == 150000L + 850000L)
+  }
+
   test("refs and aliases filters") {
     assert(GraphQueries.outRefs(edges, "a").as[String].collect.toSet == Set("b", "c"))
     assert(GraphQueries.inRefs(edges, "c").as[String].collect.toSet == Set("b", "a"))

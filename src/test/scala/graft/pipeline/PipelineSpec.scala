@@ -678,4 +678,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() == src.count())
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
+
+  test("q66 inverted index: distinct-term df, sorted bounded head segment") {
+    // d1's doubled 'apple' must not inflate df (per-doc DISTINCT terms)
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry banana zebra")).toDF("doc_id", "text")
+    val got = graft.Queries.invertedIndex(docs, headK = 20)
+      .as[(String, Long, String)].collect.toSeq
+    assert(got == Seq(("apple", 1L, "1"), ("banana", 3L, "1,2,3"),
+      ("cherry", 2L, "2,3"), ("zebra", 1L, "3")))
+    // the head segment is CAPPED before the collect: df stays exact while
+    // postings_head carries only the first headK doc ids in doc order
+    val capped = graft.Queries.invertedIndex(docs, headK = 2)
+      .as[(String, Long, String)].collect.toSeq
+    assert(capped.find(_._1 == "banana").get == (("banana", 3L, "1,2")))
+  }
+
+  test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
+    // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
+    // d1 = a b a b c -> 4 bigrams, 2 known ('a b' twice), hits 2*3 = 6
+    // d2 = a b x     -> 2 bigrams, 1 known, hits 3
+    Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.Queries.q67BigramLm(spark, dir)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got == Seq((1L, 4L, 2L, 6L), (2L, 2L, 1L, 3L)))
+  }
 }
