@@ -2757,4 +2757,75 @@ object Queries {
       |  coalesce(sum(m.c), 0)::BIGINT AS lm_hits
       |FROM grams g LEFT JOIN model m USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Quantile feature binning — the discretization pass a training
+    * pipeline runs on numeric features (equal-frequency bins feed
+    * embedding tables / monotone models): ntile(10) per event_type with
+    * a PINNED total order (value, then unique event_id), so the binning
+    * is deterministic and both engines assign the identical rows to the
+    * identical bins (ntile's "first n mod k buckets get the extra row"
+    * rule is the same standard-SQL definition in Spark and DuckDB — but
+    * only a total order makes it reproducible). One event_type exchange
+    * shared by the window and the re-aggregation; bin edges (raw min/max
+    * picks, no float arithmetic) ride along as exact values. */
+  def q68FeatureBins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    s.read.parquet(p(dir, "events"))
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"),
+        min("value").as("lo"), max("value").as("hi"))
+      .orderBy("event_type", "decile")
+  }
+
+  val q68Sql: String =
+    """SELECT event_type, decile::INT AS decile, count(*)::BIGINT AS n,
+      |  sum(event_id)::BIGINT AS sum_ids, min(value) AS lo, max(value) AS hi
+      |FROM (SELECT event_type, event_id, value,
+      |    ntile(10) OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS decile
+      |  FROM events)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** CDC / changelog read between two snapshot versions
+    * (TableIO.changelog — the Delta-CDF/Iceberg-changelog pattern): what
+    * LOGICALLY changed between the q59 fixture's v0 and v1, as
+    * retract/add rows (an update = its delete+insert pair). The read
+    * plans from the MANIFEST FILE DIFF alone: carried files are never
+    * scanned (immutable files present in both manifests cancel exactly),
+    * so at 100 TB a one-day correction's changelog costs O(rewritten
+    * slice), never O(table) — the feed an incremental index/aggregate
+    * consumes instead of diffing two full versions. Rows the
+    * copy-on-write rewrite carried unchanged cancel in the multiset
+    * difference and emit nothing. Oracle: replay the merge in SQL and
+    * take the same logical diff with EXCEPT ALL. */
+  def q69SnapshotCdc(s: SparkSession, dir: String): DataFrame = {
+    val tio = new graft.tableio.TableIO(mergedEventsDir(s, dir), s)
+    tio.changelog(tio.read(0L), tio.read(1L), "events")
+      .groupBy("change", "event_type")
+      .agg(count(lit(1)).as("n_rows"), sum("event_id").as("sum_ids"))
+      .orderBy("change", "event_type")
+  }
+
+  val q69Sql: String =
+    """WITH updates AS (
+      |  SELECT event_id, 'corrected' AS event_type
+      |  FROM events WHERE event_id < 1000
+      |  UNION ALL
+      |  SELECT event_id + 1000000, 'backfill'
+      |  FROM events WHERE event_id % 100 = 0),
+      |merged AS (
+      |  SELECT event_id, event_type FROM events
+      |  WHERE event_id NOT IN (SELECT event_id FROM updates)
+      |  UNION ALL SELECT event_id, event_type FROM updates),
+      |base AS (SELECT event_id, event_type FROM events),
+      |ins AS (SELECT * FROM merged EXCEPT ALL SELECT * FROM base),
+      |del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM merged),
+      |chg AS (SELECT 'insert' AS change, event_id, event_type FROM ins
+      |  UNION ALL SELECT 'delete', event_id, event_type FROM del)
+      |SELECT change, event_type, count(*)::BIGINT AS n_rows,
+      |  sum(event_id)::BIGINT AS sum_ids
+      |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

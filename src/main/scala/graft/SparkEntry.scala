@@ -136,7 +136,9 @@ object SparkEntry {
 
     "crawl_pagerank" -> (Queries.crawlPagerank _),
     "q66_inverted_index" -> (Queries.q66InvertedIndex _),
-    "q67_bigram_lm" -> (Queries.q67BigramLm _))
+    "q67_bigram_lm" -> (Queries.q67BigramLm _),
+    "q68_feature_bins" -> (Queries.q68FeatureBins _),
+    "q69_snapshot_cdc" -> (Queries.q69SnapshotCdc _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -211,5 +213,7 @@ object SparkEntry {
     "q64_fuzzy_match" -> Queries.q64Sql,
     "q65_time_travel" -> Queries.q65Sql,
     "q66_inverted_index" -> Queries.q66Sql,
-    "q67_bigram_lm" -> Queries.q67Sql)
+    "q67_bigram_lm" -> Queries.q67Sql,
+    "q68_feature_bins" -> Queries.q68Sql,
+    "q69_snapshot_cdc" -> Queries.q69Sql)
 }

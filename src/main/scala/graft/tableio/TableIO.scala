@@ -276,6 +276,41 @@ class TableIO(baseDir: String, spark: SparkSession) {
         untouched.map(_._1._1), untouched.map(_._1._4).sum)))
   }
 
+  /** The manifest file-list diff between two versions of `name`:
+    * (removed, added) file names, sorted. Files in BOTH manifests are
+    * CARRIED — data files are immutable under the append/CoW model, so a
+    * carried file's rows are bit-identical in both versions and can
+    * never contribute a change. */
+  def changedFileSets(prev: Snapshot, cur: Snapshot,
+                      name: String): (Seq[String], Seq[String]) = {
+    val f0 = prev.tables(name).files.map(_.name).toSet
+    val f1 = cur.tables(name).files.map(_.name).toSet
+    ((f0 -- f1).toSeq.sorted, (f1 -- f0).toSeq.sorted)
+  }
+
+  /** CDC / changelog read between two snapshots (Delta CDF / Iceberg
+    * changelog-scan shape): every row of `cur` not in `prev` tagged
+    * `insert`, every row of `prev` not in `cur` tagged `delete` — an
+    * update is its delete+insert pair (the retract/add changelog form
+    * streaming consumers expect). Computed from the MANIFEST DIFF alone:
+    * carried files are never read (their rows would cancel in the
+    * multiset difference anyway — skipping them is pure pruning), so the
+    * scan + the two exceptAll shuffles are O(rewritten slice), never
+    * O(table). Rows a copy-on-write rewrite carried unchanged into a new
+    * file cancel in exceptAll and emit nothing — the changelog is the
+    * LOGICAL diff, not the physical one. */
+  def changelog(prev: Snapshot, cur: Snapshot, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (removed, added) = changedFileSets(prev, cur, name)
+    def readFiles(fsq: Seq[String]): DataFrame =
+      if (fsq.isEmpty) table(cur, name).limit(0)
+      else spark.read.parquet(fsq.map(f => new Path(baseDir, f).toString): _*)
+    val before = readFiles(removed)
+    val after = readFiles(added)
+    after.exceptAll(before).withColumn("change", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("change", lit("delete")))
+  }
+
   /** Read a table with ADD-COLUMN schema evolution reconciled at read
     * time (Iceberg's evolution model, restricted to the additive case
     * parquet name-based merging supports): files written before the

@@ -293,6 +293,45 @@ class ResumeSpec extends AnyFunSuite {
     assert(s1.tables("t").rows == expect.count())
   }
 
+  test("changelog: manifest-diff CDC equals the full logical diff, carried files unread") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpDir("cdc")
+    val io = new TableIO(dir, spark)
+    val base = spark.range(0, 4000).select(
+      col("id").as("k"), (col("id") % 5).cast("string").as("tag"),
+      lit(1L).as("n"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    val s0 = io.commit(Map.empty, Map("t" -> base))
+    val updates = spark.range(0, 500)
+      .select(col("id").as("k"), lit("fixed").as("tag"), lit(2L).as("n"))
+      .unionByName(spark.range(0, 100).select(
+        (col("id") + 100000L).as("k"), lit("new").as("tag"), lit(3L).as("n")))
+    val s1 = io.mergeTable(s0, "t", updates, "k")
+    // the CDC scan plans only the manifest DIFF: files in both manifests
+    // are never part of the read set
+    val (removed, added) = io.changedFileSets(s0, s1, "t")
+    val carried = s0.tables("t").files.map(_.name).toSet &
+      s1.tables("t").files.map(_.name).toSet
+    assert(removed.nonEmpty && added.nonEmpty && carried.nonEmpty)
+    assert((removed.toSet & carried).isEmpty && (added.toSet & carried).isEmpty)
+    assert(removed.size + carried.size == s0.tables("t").files.size)
+    // pruning is PURE: the manifest-diff changelog equals the logical
+    // full-table diff (rewrite-carried rows cancel, updates surface as
+    // delete+insert pairs, pure inserts as insert-only)
+    val log = io.changelog(s0, s1, "t")
+    val v0 = io.table(s0, "t")
+    val v1 = io.table(s1, "t")
+    val expect = v1.exceptAll(v0).withColumn("change", lit("insert"))
+      .unionByName(v0.exceptAll(v1).withColumn("change", lit("delete")))
+    assert(log.count() == expect.count())
+    assert(log.exceptAll(expect).isEmpty && expect.exceptAll(log).isEmpty,
+      "manifest-diff changelog must equal the full logical diff")
+    // shape sanity: 500 updated keys -> 500 delete+insert pairs; 100
+    // pure inserts -> insert-only
+    assert(log.filter(col("change") === "delete").count() == 500)
+    assert(log.filter(col("change") === "insert").count() == 600)
+  }
+
   test("insert-only merge rewrites nothing: every base file carried") {
     import org.apache.spark.sql.functions.{col, lit}
     val io = new TableIO(tmpDir("merge-ins"), spark)
