@@ -2828,4 +2828,118 @@ object Queries {
       |SELECT change, event_type, count(*)::BIGINT AS n_rows,
       |  sum(event_id)::BIGINT AS sum_ids
       |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** §2.10 part 9: STREAMING sessionization — q33's session_window run
+    * incrementally in append mode. The events arrive split by event_id
+    * parity across two micro-batches (mtime-ordered, one file per
+    * trigger), so both halves of most sessions land in DIFFERENT batches
+    * and the session state must MERGE across them; a final far-future
+    * sentinel row advances the watermark past every real session so
+    * append mode emits each exactly once on close. The sentinel belongs
+    * to an IN-SCOPE user: Catalyst pushes the scoping filter below the
+    * watermark node into the parquet scan, so a filtered-out sentinel
+    * would be row-group-pruned and never drive event time; in scope, its
+    * own 2098 session simply never closes and never reaches the sink.
+    * All real rows are on time (the
+    * 45-day delay exceeds the corpus span; lateness itself is q35's
+    * subject), so the oracle is the BATCH sessionization — q33's
+    * gaps-and-islands SQL. State is O(open sessions), evicted at close:
+    * the only sessionization that runs forever on a 100-TB firehose. */
+  def q70StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = s.read.parquet(p(dir, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val streamDir = tempDirCleaned("graft-stream-sess-in-")
+    val t0 = ((System.currentTimeMillis() / 1000) - 300) * 1000
+    stageBatchFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      streamDir, "0-even.parquet", t0)
+    stageBatchFile(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      streamDir, "1-odd.parquet", t0 + 60000)
+    // watermark-advancing sentinel: the max-ts event pushed ~75 years out
+    // (same column types as the real files — ts stays TIMESTAMP_NTZ in
+    // parquet like the events table; the cast to TIMESTAMP happens on the
+    // stream, exactly as in q35)
+    stageBatchFile(
+      ev.orderBy(col("ts").desc, col("event_id")).limit(1)
+        .select(lit(99999999L).as("event_id"),
+          (col("ts") + expr("INTERVAL 27375 DAYS")).as("ts"),
+          lit(0L).as("user_id"), lit(0.0).as("value")),
+      streamDir, "2-sentinel.parquet", t0 + 120000)
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("user_id") < 40)
+    val sess = graft.streaming.Streaming.sessionizedAppend(stream)
+    val name = "q70_stream_sessions_result"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val ckpt = tempDirCleaned("graft-stream-ckpt-").toString
+    val q = sess.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(pr => System.err.println(
+        s"BATCH ${pr.batchId} in=${pr.numInputRows} " +
+          s"wm=${pr.eventTime.get("watermark")} " +
+          s"state=${pr.stateOperators.map(o =>
+            s"${o.operatorName}:rows=${o.numRowsTotal}").mkString(",")} " +
+          s"out=${Option(pr.sink).map(_.numOutputRows).getOrElse(-1L)} " +
+          s"src=${pr.sources.map(s0 => s"${s0.startOffset}->${s0.endOffset}" +
+            s"/latest=${s0.latestOffset}").mkString(";")}"))
+    s.table(name)
+      .select(col("user_id"),
+        col("s_start").cast("timestamp_ntz").as("s_start"),
+        col("s_end").cast("timestamp_ntz").as("s_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "s_start")
+  }
+
+  /** One shared MERGE-ON-READ delete fixture: documents committed under a
+    * doc_id range layout, then a SCATTERED purge (doc_id % 10 == 3 — a
+    * per-user/right-to-be-forgotten shape, keys in every file's
+    * envelope) via TableIO.deleteKeysMor. Copy-on-write would rewrite
+    * ALL 8 files for these keys; merge-on-read commits one tiny delete
+    * file and defers the anti-join to readers. */
+  private val morBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def morDocsDir(s: SparkSession, dir: String): String =
+    morBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-mor-").toString
+      val tio = new graft.tableio.TableIO(out, s)
+      val docs = s.read.parquet(p(dir, "documents"))
+      val snap0 = tio.commit(Map("src" -> "documents"), Map("docs" ->
+        docs.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id")))
+      tio.deleteKeysMor(snap0, "docs",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
+        "doc_id")
+      out
+    })
+
+  /** Iceberg v2 merge-on-read DELETE on the driver surface (the
+    * complement of q62's copy-on-write): scattered purge keys land as a
+    * delete FILE (O(keys) commit, zero data files rewritten — ResumeSpec
+    * gates the verbatim carry), and this read applies them via the
+    * broadcast anti-join (TableIO.tableMor) — until compactDeletes folds
+    * them in (also ResumeSpec-gated). The oracle replays the purge as a
+    * plain SQL filter. */
+  def q71MorDelete(s: SparkSession, dir: String): DataFrame = {
+    val tio = new graft.tableio.TableIO(morDocsDir(s, dir), s)
+    tio.tableMor(tio.latest.get, "docs", "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
+  val q71Sql: String =
+    """SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(n_chars)::BIGINT AS sum_chars,
+      |  count(DISTINCT lang)::BIGINT AS n_langs
+      |FROM documents WHERE doc_id % 10 <> 3
+      |GROUP BY source ORDER BY source""".stripMargin
 }

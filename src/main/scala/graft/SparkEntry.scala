@@ -138,7 +138,9 @@ object SparkEntry {
     "q66_inverted_index" -> (Queries.q66InvertedIndex _),
     "q67_bigram_lm" -> (Queries.q67BigramLm _),
     "q68_feature_bins" -> (Queries.q68FeatureBins _),
-    "q69_snapshot_cdc" -> (Queries.q69SnapshotCdc _))
+    "q69_snapshot_cdc" -> (Queries.q69SnapshotCdc _),
+    "q70_stream_sessions" -> (Queries.q70StreamSessions _),
+    "q71_mor_delete" -> (Queries.q71MorDelete _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -215,5 +217,7 @@ object SparkEntry {
     "q66_inverted_index" -> Queries.q66Sql,
     "q67_bigram_lm" -> Queries.q67Sql,
     "q68_feature_bins" -> Queries.q68Sql,
-    "q69_snapshot_cdc" -> Queries.q69Sql)
+    "q69_snapshot_cdc" -> Queries.q69Sql,
+    "q70_stream_sessions" -> Queries.q33Sql, // all rows on time => batch sessions
+    "q71_mor_delete" -> Queries.q71Sql)
 }

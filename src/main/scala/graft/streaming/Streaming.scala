@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -48,6 +48,34 @@ object Streaming {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /**
+   * APPEND-mode event-time SESSIONIZATION (§2.10 part 9) — the streaming
+   * twin of the batch session_window query: session state for a user key
+   * MERGES across micro-batches while consecutive events stay within the
+   * gap, and a session is emitted exactly once, when the watermark passes
+   * its end (last event + gap). State is O(open sessions), evicted on
+   * close — the only sessionization that runs forever on a firehose.
+   * NOTE: Catalyst pushes non-time predicates BELOW the watermark node
+   * (correct — the watermark only bounds rows that reach state, and at a
+   * parquet source the pushed filter prunes whole row groups), so a
+   * watermark-advancing sentinel row must SURVIVE any upstream scoping
+   * filter; park it at a far-future event time instead — its own session
+   * then never closes and never reaches the sink. The session struct
+   * must survive the aggregation for the watermark→state linkage (same
+   * rule as windowedEventCountsAppend); start/end project after the agg.
+   */
+  def sessionizedAppend(events: DataFrame,
+                        gap: String = "30 minutes",
+                        watermark: String = "45 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("sum_value"))
 
   final case class UrlEvent(url: String, host: String, seq: Long)
   final case class FirstSeen(url: String, host: String, firstSeq: Long)

@@ -311,6 +311,63 @@ class TableIO(baseDir: String, spark: SparkSession) {
       .unionByName(before.exceptAll(after).withColumn("change", lit("delete")))
   }
 
+  private def deletesTableName(name: String) = s"${name}__deletes"
+
+  /** Iceberg v2 MERGE-ON-READ equality delete — the other half of the
+    * delete model next to copy-on-write `deleteKeys`: the doomed KEYS are
+    * committed as a DELETE FILE and every data file is carried verbatim,
+    * so the commit costs O(keys) at ANY table size. This is the right
+    * shape when the keys are SCATTERED across the key space (a per-user
+    * purge over a time-clustered table): CoW would envelope-hit — and
+    * rewrite — every file, while MoR defers that cost to readers (an
+    * anti-join against the broadcast-sized delete set) until a
+    * maintenance `compactDeletes` folds them in. Delete files accumulate
+    * under the append model across repeated MoR commits. */
+  def deleteKeysMor(cur: Snapshot, name: String, keys: DataFrame,
+                    keyCol: String,
+                    meta: Map[String, String] = Map.empty): Snapshot = {
+    val dt = deletesTableName(name)
+    val carried = (cur.tables - dt).map { case (n, tl) =>
+      n -> TableWrite(table(cur, n).limit(0), tl.files, tl.rows)
+    }
+    val prior = cur.tables.get(dt)
+    val dw = TableWrite(keys.select(keys(keyCol)).distinct(),
+      prior.map(_.files).getOrElse(Nil), prior.map(_.rows).getOrElse(0L))
+    commitWrites(
+      meta ++ Map("mor.delete.table" -> name, "mor.delete.key" -> keyCol),
+      carried ++ Map(dt -> dw))
+  }
+
+  /** Read `name` with pending merge-on-read deletes APPLIED: an anti-join
+    * against the (broadcast-sized) accumulated delete-key set — the
+    * read-time merge Iceberg v2 readers perform. No pending deletes →
+    * the plain manifest read. */
+  def tableMor(snap: Snapshot, name: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dt = deletesTableName(name)
+    val data = table(snap, name)
+    snap.tables.get(dt) match {
+      case Some(tl) if tl.rows > 0 =>
+        data.join(broadcast(table(snap, dt).select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_anti")
+      case _ => data
+    }
+  }
+
+  /** Maintenance: fold the accumulated equality deletes into the data
+    * files (Iceberg's rewrite_data_files + delete-file cleanup) — a
+    * copy-on-write delete of the pending key set, with the delete table
+    * dropped in the SAME commit. After this, plain `table` reads no
+    * longer pay the anti-join. */
+  def compactDeletes(cur: Snapshot, name: String, keyCol: String,
+                     meta: Map[String, String] = Map.empty): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    val dt = deletesTableName(name)
+    require(cur.tables.contains(dt), s"no pending deletes for $name")
+    val keys = table(cur, dt).select(col(keyCol)).distinct()
+    deleteKeys(cur.copy(tables = cur.tables - dt), name, keys, keyCol, meta)
+  }
+
   /** Read a table with ADD-COLUMN schema evolution reconciled at read
     * time (Iceberg's evolution model, restricted to the additive case
     * parquet name-based merging supports): files written before the

@@ -348,6 +348,44 @@ class ResumeSpec extends AnyFunSuite {
     assert(io.table(s1, "t").count() == 1050)
   }
 
+  test("merge-on-read delete: O(keys) commit, reads apply, compaction folds") {
+    import org.apache.spark.sql.functions.col
+    val io = new TableIO(tmpDir("mor"), spark)
+    val base = spark.range(0, 4000).select(
+      col("id").as("k"), (col("id") % 7).cast("string").as("tag"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    val s0 = io.commit(Map.empty, Map("t" -> base))
+    // scattered purge keys: every file's envelope is hit, so CoW would
+    // rewrite the whole table — MoR must instead carry every data file
+    // VERBATIM and commit only the delete file
+    val keys1 = spark.range(0, 4000).filter(col("id") % 10 === 3)
+      .select(col("id").as("k"))
+    val s1 = io.deleteKeysMor(s0, "t", keys1, "k")
+    assert(s1.tables("t").files == s0.tables("t").files,
+      "a MoR delete must not touch data files")
+    assert(s1.tables.contains("t__deletes"))
+    val exp1 = base.filter(col("k") % 10 =!= 3)
+    val got1 = io.tableMor(s1, "t", "k")
+    assert(got1.count() == exp1.count())
+    assert(got1.exceptAll(exp1).isEmpty && exp1.exceptAll(got1).isEmpty)
+    // a second MoR delete ACCUMULATES under the append model
+    val s2 = io.deleteKeysMor(s1, "t",
+      spark.range(0, 10).select(col("id").as("k")), "k")
+    assert(s2.tables("t").files == s0.tables("t").files)
+    val exp2 = base.filter(col("k") % 10 =!= 3 && col("k") >= 10)
+    val got2 = io.tableMor(s2, "t", "k")
+    assert(got2.count() == exp2.count())
+    assert(got2.exceptAll(exp2).isEmpty && exp2.exceptAll(got2).isEmpty)
+    // maintenance folds the pending deletes into the data files and drops
+    // the delete table: plain reads no longer pay the anti-join
+    val s3 = io.compactDeletes(s2, "t", "k")
+    assert(!s3.tables.contains("t__deletes"))
+    val got3 = io.table(s3, "t")
+    assert(got3.count() == exp2.count())
+    assert(got3.exceptAll(exp2).isEmpty && exp2.exceptAll(got3).isEmpty)
+    assert(io.tableMor(s3, "t", "k").count() == exp2.count())
+  }
+
   test("copy-on-write delete: retention sweep rewrites only the doomed slice's files") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir("delete")

@@ -61,6 +61,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("streaming sessions merge across micro-batches == batch session_window (q70)") {
+    val got = graft.Queries.q70StreamSessions(spark, sf)
+      .as[(Long, java.time.LocalDateTime, java.time.LocalDateTime, Long, Double)]
+      .collect.toSeq
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("user_id") < 40)
+    // the parity split puts both halves of these sessions in DIFFERENT
+    // micro-batches: if streaming state failed to merge across batches,
+    // they would emit split and the equality below could not hold
+    val crossBatch = ev
+      .withColumn("par", pmod(col("event_id"), lit(2)))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(countDistinct("par").as("np"))
+      .filter(col("np") === 2).count()
+    assert(crossBatch > 0, "fixture must contain cross-batch sessions")
+    val expected = ev
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("s_start"),
+        col("sw.end").cast("timestamp_ntz").as("s_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "s_start")
+      .as[(Long, java.time.LocalDateTime, java.time.LocalDateTime, Long, Double)]
+      .collect.toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("streaming first-seen dedup == batch first-wins window") {
     val rows = Seq(
       Streaming.UrlEvent("http://h/a", "h", 3),
