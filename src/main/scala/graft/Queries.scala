@@ -2942,4 +2942,226 @@ object Queries {
       |  count(DISTINCT lang)::BIGINT AS n_langs
       |FROM documents WHERE doc_id % 10 <> 3
       |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------- reconciliation, co-occurrence, decay, graph motifs (round 5)
+
+  /** Order-independent content fingerprint of one table: row count plus an
+    * XOR and a modular SUM of a 60-bit md5-derived per-row fingerprint.
+    * Both aggregates are commutative/associative, so the checksum is
+    * invariant under row order, partitioning, and file layout — the
+    * anti-entropy primitive for comparing two replicas / two versions /
+    * pre- and post-migration copies of a 100-TB table WITHOUT sorting or
+    * shuffling any data: one scan, map-side partial aggregation, a
+    * single-row result. XOR is overflow-free at any row count; the sum
+    * rides mod 1e9+7 so it stays far from Long range even at 10^12 rows
+    * (it catches the one corruption XOR is blind to: an even number of
+    * copies of the same damaged row). `rowCol` must render every column
+    * through integer/string forms (floats are formatted differently
+    * across engines; payloads go through md5). */
+  private[graft] def tableFingerprint(df: DataFrame, name: String,
+      rowCol: org.apache.spark.sql.Column): DataFrame =
+    df.select(conv(substring(md5(rowCol), 1, 15), 16, 10)
+        .cast("long").as("fp"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(fp)").as("xor_fp"),
+        sum(col("fp") % 1000000007L).as("sum_fp"))
+      .select(lit(name).as("tbl"), col("n_rows"), col("xor_fp"),
+        col("sum_fp"))
+
+  /** Cross-replica table reconciliation over three tables of different
+    * shapes (documents / events / lineitem). Timestamps enter the row
+    * fingerprint as exact epoch microseconds (`unix_micros` ≡ DuckDB
+    * `epoch_us` under the UTC session) and the text payload as its md5 —
+    * never a float or a locale-dependent rendering. The DuckDB twin
+    * recomputes the identical fingerprints, so a hash match here means
+    * the two engines agree on every row of all three tables. */
+  def q72TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val docs = tableFingerprint(s.read.parquet(p(dir, "documents")),
+      "documents",
+      concat_ws("|", col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), md5(col("text"))))
+    val ev = tableFingerprint(s.read.parquet(p(dir, "events")), "events",
+      concat_ws("|", col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))"), col("user_id"),
+        col("event_type"), col("props")))
+    val li = tableFingerprint(s.read.parquet(p(dir, "lineitem")),
+      "lineitem",
+      concat_ws("|", col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+        expr("unix_micros(cast(l_shipdate as timestamp))")))
+    docs.unionByName(ev).unionByName(li).orderBy("tbl")
+  }
+
+  val q72Sql: String =
+    """WITH d AS (SELECT ('0x' || substr(md5(concat_ws('|', doc_id, lang,
+      |    source, n_chars, md5(text))), 1, 15))::BIGINT AS fp
+      |  FROM documents),
+      |e AS (SELECT ('0x' || substr(md5(concat_ws('|', event_id,
+      |    epoch_us(ts), user_id, event_type, props)), 1, 15))::BIGINT AS fp
+      |  FROM events),
+      |l AS (SELECT ('0x' || substr(md5(concat_ws('|', l_orderkey,
+      |    l_partkey, l_suppkey, l_linenumber, l_returnflag, l_linestatus,
+      |    epoch_us(l_shipdate))), 1, 15))::BIGINT AS fp
+      |  FROM lineitem)
+      |SELECT 'documents' AS tbl, count(*)::BIGINT AS n_rows,
+      |  bit_xor(fp)::BIGINT AS xor_fp,
+      |  sum(fp % 1000000007)::BIGINT AS sum_fp FROM d
+      |UNION ALL SELECT 'events', count(*)::BIGINT, bit_xor(fp)::BIGINT,
+      |  sum(fp % 1000000007)::BIGINT FROM e
+      |UNION ALL SELECT 'lineitem', count(*)::BIGINT, bit_xor(fp)::BIGINT,
+      |  sum(fp % 1000000007)::BIGINT FROM l
+      |ORDER BY tbl""".stripMargin
+
+  /** Within-document term co-occurrence with a df band — the statistic a
+    * word2vec/PMI/embedding pipeline trains on. Scale shape: per-doc
+    * DISTINCT terms first (text never moves again), df computed once and
+    * BANDED before any pairing — the floor drops hapaxes, the ceiling
+    * (fraction of corpus size, from parquet footers: zero jobs) drops
+    * stopword-grade terms, and together they bound the per-doc banded
+    * term list, which bounds the per-doc pair fan-out QUADRATICALLY —
+    * the difference between a feasible and an infeasible pair join at
+    * 100 TB. One doc_id-keyed self-join (t1 < t2 halves it), one
+    * pair-keyed count. `lift_ppm` is the association strength as an
+    * integer rational (n_pair·N·10^6 div df1·df2 — monotone in PMI, and
+    * bit-identically replayable where a float log never is; at corpus
+    * scales where n_pair·N overflows Long, compute it in DECIMAL(38,0)). */
+  private[graft] def termCooccur(s: SparkSession, docs: DataFrame,
+                                 nDocs: Long, minDf: Long, ceilNum: Long,
+                                 ceilDen: Long, minPair: Long): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+    val dfT = toks.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf &&
+        col("df") <= lit(ceilNum * nDocs / ceilDen))
+    val banded = toks.join(dfT, Seq("term"))
+    val a = banded.select(col("doc_id"), col("term").as("t1"),
+      col("df").as("df1"))
+    val b = banded.select(col("doc_id"), col("term").as("t2"),
+      col("df").as("df2"))
+    a.join(b, Seq("doc_id")).filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(max("df1").as("df1"), max("df2").as("df2"),
+        count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+      .select(col("t1"), col("t2"), col("n_pair"),
+        expr(s"(n_pair * ${nDocs}L * 1000000L) div (df1 * df2)")
+          .as("lift_ppm"))
+      .orderBy("t1", "t2")
+  }
+
+  def q73TermCooccur(s: SparkSession, dir: String): DataFrame = {
+    val nd = graft.tableio.ParquetStats.rowCount(s, p(dir, "documents"))
+    termCooccur(s, s.read.parquet(p(dir, "documents")), nd,
+      minDf = 2L, ceilNum = 9L, ceilDen = 10L, minPair = 5L)
+  }
+
+  val q73Sql: String =
+    """WITH n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+      |toks AS (SELECT DISTINCT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text,'\s+'), x->x<>''))
+      |      AS term
+      |  FROM documents),
+      |d AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+      |banded AS (SELECT t.doc_id, t.term, d.df
+      |  FROM toks t JOIN d USING (term), n
+      |  WHERE d.df >= 2 AND d.df <= (9 * n.nd) // 10),
+      |pairs AS (SELECT a.term AS t1, b.term AS t2,
+      |    max(a.df) AS df1, max(b.df) AS df2, count(*)::BIGINT AS n_pair
+      |  FROM banded a JOIN banded b
+      |    ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY 1, 2)
+      |SELECT t1, t2, n_pair,
+      |  (n_pair * n.nd * 1000000) // (df1 * df2) AS lift_ppm
+      |FROM pairs, n WHERE n_pair >= 5 ORDER BY t1, t2""".stripMargin
+
+  /** Freshness-decayed engagement profile — the recency weighting a
+    * ranking / sampling pipeline applies before anything else (recent
+    * activity counts, stale activity fades). Exponential decay with a
+    * one-week half-life in PURE INTEGER arithmetic: weight =
+    * 10^6 >> age_weeks (a float exp() could never be hash-oracled; the
+    * shifted weight is the same step function in both engines, and the
+    * shift is clamped at 62 so pre-epoch garbage can't overflow). The
+    * anchor is the corpus max timestamp — a deterministic property of
+    * the data, not wall clock, so the query is reproducible. One scan +
+    * one broadcast of the 1-row anchor + one hash agg; at 100 TB the
+    * decay is a map-side expression, never a shuffle. */
+  def q74DecayScores(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val anchor = ev.agg(max("us").as("a"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("wt", expr(
+        "shiftright(1000000L, cast(least((a - us) div 604800000000, 62) as int))"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("wt").as("decayed_mass"),
+        max("wt").as("max_wt"),
+        countDistinct(when(col("wt") >= 500000, col("user_id")))
+          .as("n_recent_users"))
+      .orderBy("event_type")
+  }
+
+  val q74Sql: String =
+    """WITH anchor AS (SELECT max(epoch_us(ts)) AS a FROM events),
+      |w AS (SELECT event_type, user_id,
+      |    (1000000::BIGINT >>
+      |      least((a - epoch_us(ts)) // 604800000000, 62)) AS wt
+      |  FROM events, anchor)
+      |SELECT event_type, count(*)::BIGINT AS n_events,
+      |  sum(wt)::BIGINT AS decayed_mass, max(wt)::BIGINT AS max_wt,
+      |  count(DISTINCT CASE WHEN wt >= 500000 THEN user_id END)::BIGINT
+      |    AS n_recent_users
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Triangle counting over the co-purchase graph (parts sharing an
+    * order) — the graph-motif operator behind clustering-coefficient /
+    * community features, a different family from the path queries
+    * (BFS/PageRank) already on the surface. Scale shape: (1) edge
+    * generation is bounded by construction — pairs are generated WITHIN
+    * an order key, and an order has O(lines) parts, so the self-join
+    * fan-out is per-key quadratic in a SMALL key group, never corpus-
+    * quadratic; (2) a support threshold (w ≥ 2, the market-basket trick)
+    * sparsifies before any triangle work; (3) edges are canonically
+    * oriented u < v, so each triangle is enumerated exactly once as
+    * x<y<z via two equi-joins — no cartesian anywhere (at web scale the
+    * orientation would be by (degree, id) instead, which provably bounds
+    * per-vertex join fan-out by sqrt(|E|); id order keeps the DuckDB
+    * twin bit-identical and is the same plan shape). */
+  private[graft] def triangles(lp: DataFrame): DataFrame = {
+    val a = lp.select(col("ok"), col("pk").as("u"))
+    val b = lp.select(col("ok"), col("pk").as("v"))
+    val e = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("u", "v")
+    val e1 = e.select(col("u").as("x"), col("v").as("y"))
+    val e2 = e.select(col("u").as("y"), col("v").as("z"))
+    val e3 = e.select(col("u").as("x"), col("v").as("z"))
+    e1.join(e2, Seq("y")).join(e3, Seq("x", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("pk"))
+  }
+
+  def q75Triangles(s: SparkSession, dir: String): DataFrame =
+    triangles(s.read.parquet(p(dir, "lineitem"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct())
+
+  val q75Sql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |e AS (SELECT a.pk AS u, b.pk AS v
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |corners AS (SELECT x AS pk FROM tri
+      |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |SELECT pk, count(*)::BIGINT AS n_triangles
+      |FROM corners GROUP BY pk
+      |ORDER BY n_triangles DESC, pk""".stripMargin
 }

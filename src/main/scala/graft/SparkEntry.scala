@@ -140,7 +140,15 @@ object SparkEntry {
     "q68_feature_bins" -> (Queries.q68FeatureBins _),
     "q69_snapshot_cdc" -> (Queries.q69SnapshotCdc _),
     "q70_stream_sessions" -> (Queries.q70StreamSessions _),
-    "q71_mor_delete" -> (Queries.q71MorDelete _))
+    "q71_mor_delete" -> (Queries.q71MorDelete _),
+    // anti-entropy table reconciliation checksum
+    "q72_table_checksum" -> (Queries.q72TableChecksum _),
+    // df-banded within-doc term co-occurrence (PMI-style lift)
+    "q73_term_cooccur" -> (Queries.q73TermCooccur _),
+    // integer exponential-decay freshness weighting
+    "q74_decay_scores" -> (Queries.q74DecayScores _),
+    // triangle motifs over the co-purchase graph
+    "q75_triangles" -> (Queries.q75Triangles _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -219,5 +227,9 @@ object SparkEntry {
     "q68_feature_bins" -> Queries.q68Sql,
     "q69_snapshot_cdc" -> Queries.q69Sql,
     "q70_stream_sessions" -> Queries.q33Sql, // all rows on time => batch sessions
-    "q71_mor_delete" -> Queries.q71Sql)
+    "q71_mor_delete" -> Queries.q71Sql,
+    "q72_table_checksum" -> Queries.q72Sql,
+    "q73_term_cooccur" -> Queries.q73Sql,
+    "q74_decay_scores" -> Queries.q74Sql,
+    "q75_triangles" -> Queries.q75Sql)
 }

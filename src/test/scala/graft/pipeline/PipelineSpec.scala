@@ -694,6 +694,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped.find(_._1 == "banana").get == (("banana", 3L, "1,2")))
   }
 
+  test("q72 table fingerprint: md5-exact and order/partition-invariant") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "t")
+    val rowCol = concat_ws("|", col("id"), col("t"))
+    def fp(sd: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sd.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val fps = Seq("1|x", "2|y", "3|z").map(fp)
+    val exp = ("t3", 3L, fps.reduce(_ ^ _), fps.map(_ % 1000000007L).sum)
+    val got = graft.Queries.tableFingerprint(df, "t3", rowCol)
+      .as[(String, Long, Long, Long)].collect.head
+    assert(got == exp)
+    // the checksum is a content property: row order and physical
+    // partitioning must not move it (the anti-entropy invariant)
+    val shuffled = graft.Queries.tableFingerprint(
+      df.orderBy(col("t").desc).repartition(7), "t3", rowCol)
+      .as[(String, Long, Long, Long)].collect.head
+    assert(shuffled == exp)
+  }
+
+  test("q73 co-occurrence: df band excludes hapax+stopword, lift exact") {
+    // stop: df=10 = corpus size -> above the 9/10 ceiling; rare: df=1
+    // below the floor; alpha(6) x beta(7) co-occur in 6 docs
+    val docs = ((1 to 6).map(i => (i.toLong, "stop alpha beta")) ++ Seq(
+      (7L, "stop beta"), (8L, "stop rare gamma"), (9L, "stop gamma"),
+      (10L, "stop"))).toDF("doc_id", "text")
+    val got = graft.Queries.termCooccur(spark, docs, nDocs = 10L,
+      minDf = 2L, ceilNum = 9L, ceilDen = 10L, minPair = 2L)
+      .as[(String, String, Long, Long)].collect.toSeq
+    // lift = 6*10*1e6 div (6*7)
+    assert(got == Seq(("alpha", "beta", 6L, 1428571L)))
+  }
+
+  test("q74 decay: half-life shift weights, boundary week, recency gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q74-").toString
+    val anchor = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def ts(minusUs: Long) = java.sql.Timestamp.from(anchor.minusNanos(minusUs * 1000))
+    val week = 604800000000L
+    Seq(
+      (1L, ts(0L), "click"),            // age 0 weeks -> 1000000
+      (2L, ts(week), "click"),          // exactly 1 week -> 500000 (recent)
+      (3L, ts(2 * week + 1L), "click"), // 2 weeks -> 250000 (stale)
+      (3L, ts(0L), "view"))             // second type, weight 1000000
+      .toDF("user_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.Queries.q74DecayScores(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    assert(got == Seq(("click", 3L, 1750000L, 1000000L, 2L),
+      ("view", 1L, 1000000L, 1000000L, 1L)))
+  }
+
+  test("q75 triangles: support threshold, single enumeration per triangle") {
+    // orders o1,o2 repeat {1,2,3} (all three edges reach w=2); (1,4) has
+    // support 1 and is dropped; (4,5) is a supported edge in no triangle
+    val lp = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 4L),
+      (4L, 4L), (4L, 5L),
+      (5L, 4L), (5L, 5L)).toDF("ok", "pk")
+    val got = graft.Queries.triangles(lp)
+      .as[(Long, Long)].collect.toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
