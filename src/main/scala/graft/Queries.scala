@@ -3164,4 +3164,145 @@ object Queries {
       |SELECT pk, count(*)::BIGINT AS n_triangles
       |FROM corners GROUP BY pk
       |ORDER BY n_triangles DESC, pk""".stripMargin
+
+  /** EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    * al. ICDE'06; the PPJoin family, Xiao et al. WWW'08) — the third
+    * near-dup join discipline on the surface, complementing q14's
+    * MinHash (probabilistic recall) and q19's length blocking (coarse):
+    * prefix filtering is LOSSLESS. Order every doc's shingle set by
+    * GLOBAL df ascending (rarest first; ties by shingle so both engines
+    * rank identically); two sets with jaccard ≥ θ MUST share a shingle
+    * in their first |T| − ⌈θ|T|⌉ + 1 shingles — so only prefix shingles
+    * enter the candidate join, and rare-first ordering makes those the
+    * least-shared shingles in the corpus (minimum fan-out). All
+    * arithmetic is integer: the prefix bound is (θ10·sz + 9) div 10 and
+    * the θ test is 10·∩ ≥ θ10·∪ — bit-identical in both engines, no
+    * float jaccard anywhere. Scale shape: candidates are generated by a
+    * shingle-keyed equi-join over PREFIXES only (at 100 TB the df skew
+    * of natural language is the point — prefixes hold the df≈1 tail);
+    * verification re-joins candidates to the full shingle sets keyed by
+    * doc id. Every stage is an equi-join or a keyed agg; nothing is
+    * quadratic in the corpus. */
+  private[graft] def prefixSsjoin(docs: DataFrame,
+                                  theta10: Long): DataFrame = {
+    // wordShingles is per-doc distinct already — no extra shuffle here
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfg = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "g")
+    val prefix = sh.join(dfg, Seq("g")).join(sizes, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("sz") - expr(s"($theta10 * sz + 9) div 10") + 1)
+      .select("doc_id", "g")
+    val cand = prefix.select(col("doc_id").as("id_a"), col("g"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("g")),
+        Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_sz"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")),
+        Seq("id_b"))
+      .withColumn("union_sz", col("sza") + col("szb") - col("inter_sz"))
+      .filter(col("inter_sz") * 10 >= col("union_sz") * theta10)
+      .select("id_a", "id_b", "inter_sz", "union_sz")
+      .orderBy("id_a", "id_b")
+  }
+
+  def q76PrefixSsjoin(s: SparkSession, dir: String): DataFrame =
+    prefixSsjoin(s.read.parquet(p(dir, "documents")), theta10 = 6L)
+
+  val q76Sql: String =
+    """WITH base AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text,'\s+'), x->x<>'') AS ts
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(ts[i:i+2],' ')
+      |     FOR i IN generate_series(1, greatest(len(ts)-2, 1))])) AS g
+      |  FROM base),
+      |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+      |dfg AS (SELECT g, count(*)::BIGINT AS df FROM sh GROUP BY g),
+      |ranked AS (SELECT s.doc_id, s.g, z.sz, row_number() OVER (
+      |    PARTITION BY s.doc_id ORDER BY d.df, s.g) AS rk
+      |  FROM sh s JOIN dfg d USING (g) JOIN sizes z USING (doc_id)),
+      |prefix AS (SELECT doc_id, g FROM ranked
+      |  WHERE rk <= sz - ((6 * sz + 9) // 10) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM prefix a JOIN prefix b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS inter_sz
+      |  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+      |  JOIN sh y ON y.doc_id = c.id_b AND y.g = x.g
+      |  GROUP BY 1, 2)
+      |SELECT i.id_a, i.id_b, i.inter_sz,
+      |  (za.sz + zb.sz - i.inter_sz) AS union_sz
+      |FROM inter i JOIN sizes za ON za.doc_id = i.id_a
+      |JOIN sizes zb ON zb.doc_id = i.id_b
+      |WHERE 10 * i.inter_sz >= 6 * (za.sz + zb.sz - i.inter_sz)
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Ordered funnel analysis (view → click → purchase) — the sequence-
+    * PATTERN operator a product/conversion pipeline runs (q57 aggregates
+    * the raw sequence; this MATCHES a pattern against it): a user is in
+    * stage k only if the stage-k event happened strictly AFTER their
+    * stage-(k−1) entry. Exact integer microseconds throughout; per-stage
+    * output = users reaching the stage + the summed entry gap (the
+    * conversion-latency numerator). Scale shape: each stage is one
+    * user_id-keyed agg joined to the previous stage's 1-row-per-user
+    * frame — k stages = k keyed aggs + k−1 equi-joins, all on the same
+    * user_id partitioning (Catalyst reuses the exchange); per-user state
+    * is one timestamp, never the event history. A MATCH_RECOGNIZE-style
+    * NFA is unnecessary for strictly-ordered funnels. */
+  def q77Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"), max("v_us").as("v_us"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"), max("c_us").as("c_us"))
+    v.agg(count(lit(1)).as("n_users"), sum(lit(0L)).as("sum_gap_us"))
+      .select(lit("1_view").as("stage"), col("n_users"), col("sum_gap_us"))
+      .unionByName(
+        c.agg(count(lit(1)).as("n_users"),
+          sum(col("c_us") - col("v_us")).as("sum_gap_us"))
+          .select(lit("2_click").as("stage"), col("n_users"),
+            col("sum_gap_us")))
+      .unionByName(
+        pu.agg(count(lit(1)).as("n_users"),
+          sum(col("p_us") - col("c_us")).as("sum_gap_us"))
+          .select(lit("3_purchase").as("stage"), col("n_users"),
+            col("sum_gap_us")))
+      .orderBy("stage")
+  }
+
+  val q77Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.us) AS c_us, max(v.v_us) AS v_us
+      |  FROM ev e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.us) AS p_us, max(c.c_us) AS c_us
+      |  FROM ev e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY 1)
+      |SELECT '1_view' AS stage, count(*)::BIGINT AS n_users,
+      |  sum(0)::BIGINT AS sum_gap_us FROM v
+      |UNION ALL SELECT '2_click', count(*)::BIGINT,
+      |  sum(c_us - v_us)::BIGINT FROM c
+      |UNION ALL SELECT '3_purchase', count(*)::BIGINT,
+      |  sum(p_us - c_us)::BIGINT FROM p
+      |ORDER BY stage""".stripMargin
 }

@@ -148,7 +148,11 @@ object SparkEntry {
     // integer exponential-decay freshness weighting
     "q74_decay_scores" -> (Queries.q74DecayScores _),
     // triangle motifs over the co-purchase graph
-    "q75_triangles" -> (Queries.q75Triangles _))
+    "q75_triangles" -> (Queries.q75Triangles _),
+    // lossless prefix-filtering set-similarity self-join (PPJoin family)
+    "q76_prefix_ssjoin" -> (Queries.q76PrefixSsjoin _),
+    // ordered funnel (sequence-pattern) analysis
+    "q77_funnel" -> (Queries.q77Funnel _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -231,5 +235,7 @@ object SparkEntry {
     "q72_table_checksum" -> Queries.q72Sql,
     "q73_term_cooccur" -> Queries.q73Sql,
     "q74_decay_scores" -> Queries.q74Sql,
-    "q75_triangles" -> Queries.q75Sql)
+    "q75_triangles" -> Queries.q75Sql,
+    "q76_prefix_ssjoin" -> Queries.q76Sql,
+    "q77_funnel" -> Queries.q77Sql)
 }

@@ -760,6 +760,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("q76 prefix ssjoin: lossless vs brute-force exact jaccard") {
+    // d1=d2 identical; d1~d3 at EXACTLY theta (3/5 = 0.6, the boundary
+    // the integer test 10*I >= 6*U must keep); d4 disjoint
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "a b c d e x"), (4L, "z y x w v u"),
+      (5L, "a b c q r s t")).toDF("doc_id", "text")
+    val got = graft.Queries.prefixSsjoin(docs, theta10 = 6L)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    // brute force over the same shingle definition
+    def sh(t: String) = t.split("\\s+").filter(_.nonEmpty).sliding(3)
+      .map(_.mkString(" ")).toSet
+    val m = Map(1L -> "a b c d e f", 2L -> "a b c d e f",
+      3L -> "a b c d e x", 4L -> "z y x w v u", 5L -> "a b c q r s t")
+    val exp = (for {
+      a <- m.keys; b <- m.keys if a < b
+      ia = sh(m(a)).intersect(sh(m(b))).size.toLong
+      ua = (sh(m(a)) ++ sh(m(b))).size.toLong
+      if 10 * ia >= 6 * ua
+    } yield (a, b, ia, ua)).toSeq.sorted
+    assert(got == exp)
+    assert(exp.contains((1L, 3L, 3L, 5L))) // the theta-boundary pair
+  }
+
+  test("q77 funnel: strict stage ordering, integer gap sums") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q77-").toString
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    def ts(plusUs: Long) = java.sql.Timestamp.from(t0.plusNanos(plusUs * 1000))
+    Seq(
+      (1L, "view", ts(0L)), (1L, "click", ts(10L)), (1L, "purchase", ts(20L)),
+      // u2: the click BEFORE the first view must not convert; the
+      // purchase BEFORE the qualifying click must not convert either
+      (2L, "click", ts(0L)), (2L, "view", ts(5L)), (2L, "purchase", ts(6L)),
+      (2L, "click", ts(7L)),
+      (3L, "view", ts(100L)))
+      .toDF("user_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.Queries.q77Funnel(spark, dir)
+      .as[(String, Long, Long)].collect.toSeq
+    assert(got == Seq(("1_view", 3L, 0L), ("2_click", 2L, 12L),
+      ("3_purchase", 1L, 10L)))
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
