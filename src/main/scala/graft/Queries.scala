@@ -3305,4 +3305,175 @@ object Queries {
       |UNION ALL SELECT '3_purchase', count(*)::BIGINT,
       |  sum(p_us - c_us)::BIGINT FROM p
       |ORDER BY stage""".stripMargin
+
+  /** Vocabulary build + corpus encoding — the tokenizer-codebook step of
+    * a training pipeline: rank terms by corpus frequency (ties by term,
+    * so both engines assign identical ids), cap the vocabulary at a
+    * fixed size, and encode each document's head as token ids with OOV
+    * (out-of-vocabulary) mapped to id 0. Scale shape: the frequency agg
+    * is one term-keyed shuffle over (doc, pos, term) triples; the rank
+    * window runs on the AGGREGATED vocabulary (vocab ≪ corpus — the one
+    * place a global window is safe), and the encode join is
+    * vocabulary-sized on one side (broadcast at 100 TB). Encoding is
+    * order-preserving: positions ride posexplode and the id sequence is
+    * reassembled by sorting (pos, id) structs inside the per-doc agg —
+    * text order never depends on shuffle order. */
+  private[graft] def vocabEncode(docs: DataFrame, vocabSize: Int,
+                                 headLen: Int): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+    val vocab = occ.groupBy("term").agg(count(lit(1)).as("cf"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("cf").desc, col("term"))))
+      .filter(col("id") <= vocabSize)
+      .select("term", "id")
+    val sizes = occ.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val enc = occ.filter(col("pos") < headLen)
+      .join(vocab, Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("id"), lit(0L)).cast("long").as("tid"))
+    enc.groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          s => s.getField("tid").cast("string")), ",").as("head_ids"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov_head"))
+      .join(sizes, Seq("doc_id"))
+      .select("doc_id", "n_tokens", "head_ids", "n_oov_head")
+      .orderBy("doc_id")
+  }
+
+  def q78VocabEncode(s: SparkSession, dir: String): DataFrame =
+    vocabEncode(s.read.parquet(p(dir, "documents")), vocabSize = 24,
+      headLen = 16)
+
+  val q78Sql: String =
+    """WITH base AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text,'\s+'), x->x<>'') AS ts
+      |  FROM documents),
+      |occ AS (SELECT doc_id, unnest(ts) AS term FROM base),
+      |vocab AS (SELECT term, row_number() OVER (
+      |    ORDER BY count(*) DESC, term) AS id
+      |  FROM occ GROUP BY term QUALIFY id <= 24),
+      |headu AS (SELECT doc_id, unnest([{'pos': i, 'term': ts[i]}
+      |    FOR i IN generate_series(1, least(len(ts), 16))],
+      |    recursive := true) FROM base),
+      |enc AS (SELECT h.doc_id, h.pos, coalesce(v.id, 0)::BIGINT AS tid
+      |  FROM headu h LEFT JOIN vocab v USING (term)),
+      |sizes AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM base)
+      |SELECT e.doc_id, max(s.n_tokens) AS n_tokens,
+      |  string_agg(e.tid::VARCHAR, ',' ORDER BY e.pos) AS head_ids,
+      |  sum(CASE WHEN e.tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov_head
+      |FROM enc e JOIN sizes s ON s.doc_id = e.doc_id
+      |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
+  /** Per-document duplicated-span fraction — the document-level
+    * ExactSubstr signal (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): how much of each document consists
+    * of passages that appear in OTHER documents. q40 reports the shared
+    * passages; this scores every document by them — the quantity a
+    * dedup policy thresholds on. Fixed-width word 8-grams stand in for
+    * the suffix array (the standard scalable approximation: any shared
+    * span ≥ 8 tokens is covered by a shared 8-gram). Scale shape: one
+    * gram-keyed agg for global doc-frequency, one gram-keyed join back,
+    * one doc-keyed re-agg — (doc, gram) pairs shuffle, text never does;
+    * dup_ppm is an integer rational (no float division). */
+  def q79DupSpans(s: SparkSession, dir: String): DataFrame =
+    q79DupSpansOn(s.read.parquet(p(dir, "documents")))
+
+  private[graft] def q79DupSpansOn(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.wordNgrams(
+          TextAnalysis.tokens(col("text")), 8)).as("g"))
+    val dfg = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(dfg, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        expr("(n_dup * 1000000L) div n_grams").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val q79Sql: String =
+    """WITH base AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text,'\s+'), x->x<>'') AS ts
+      |  FROM documents),
+      |grams AS (SELECT doc_id, unnest([array_to_string(ts[i:i+7],' ')
+      |    FOR i IN generate_series(1, greatest(len(ts)-7, 0))]) AS g
+      |  FROM base),
+      |docfreq AS (SELECT g, count(DISTINCT doc_id)::BIGINT AS df
+      |  FROM grams GROUP BY g),
+      |per AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+      |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+      |  FROM grams JOIN docfreq USING (g) GROUP BY doc_id)
+      |SELECT doc_id, n_grams, n_dup, (n_dup * 1000000) // n_grams AS dup_ppm
+      |FROM per ORDER BY doc_id""".stripMargin
+
+  /** Referential-integrity audit — the constraint-validation pass a
+    * warehouse runs after every load: per foreign key, child row count
+    * and orphan count (child keys with no parent). The synthetic corpus
+    * is referentially clean, so two of the four constraints are audited
+    * over a child table with DETERMINISTICALLY PLANTED orphans (the q45
+    * pattern: the plant is an identical expression in both engines) —
+    * the detector must both find every planted orphan and report clean
+    * constraints as exactly zero. Scale shape: each constraint is one
+    * left join keyed on the FK with a null-count agg — parent key sets
+    * broadcast when dimension-sized, shuffle otherwise; nothing ever
+    * materializes the orphan rows themselves. */
+  def q80FkAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events")).select("event_id", "user_id")
+    val evAudit = ev.unionByName(
+      ev.filter(pmod(col("event_id"), lit(500)) === 0)
+        .select(col("event_id"), (col("user_id") + 1000000000L).as("user_id")))
+    val li = s.read.parquet(p(dir, "lineitem"))
+      .select("l_orderkey", "l_linenumber")
+    val liAudit = li.unionByName(
+      li.filter(pmod(col("l_orderkey"), lit(997)) === 0 &&
+          col("l_linenumber") === 1)
+        .select((col("l_orderkey") + 1000000000L).as("l_orderkey"),
+          col("l_linenumber")))
+    val cust = s.read.parquet(p(dir, "customer")).select("c_custkey")
+    val ord = s.read.parquet(p(dir, "orders")).select("o_orderkey", "o_custkey")
+    val part = s.read.parquet(p(dir, "part")).select("p_partkey")
+    def audit(name: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame =
+      child.join(parent.withColumn("__hit", lit(1)),
+          child(key) === parent(pkey), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    audit("events.user_id->customer", evAudit, "user_id", cust, "c_custkey")
+      .unionByName(audit("lineitem.l_orderkey->orders", liAudit,
+        "l_orderkey", ord, "o_orderkey"))
+      .unionByName(audit("lineitem.l_partkey->part",
+        s.read.parquet(p(dir, "lineitem")).select("l_partkey"),
+        "l_partkey", part, "p_partkey"))
+      .unionByName(audit("orders.o_custkey->customer",
+        ord.select("o_custkey"), "o_custkey", cust, "c_custkey"))
+      .orderBy("fk")
+  }
+
+  val q80Sql: String =
+    """WITH ev AS (SELECT event_id, user_id FROM events
+      |  UNION ALL SELECT event_id, user_id + 1000000000
+      |  FROM events WHERE event_id % 500 = 0),
+      |li AS (SELECT l_orderkey FROM lineitem
+      |  UNION ALL SELECT l_orderkey + 1000000000
+      |  FROM lineitem WHERE l_orderkey % 997 = 0 AND l_linenumber = 1)
+      |SELECT 'events.user_id->customer' AS fk, count(*)::BIGINT AS n_rows,
+      |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_orphans
+      |FROM ev e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |UNION ALL SELECT 'lineitem.l_orderkey->orders', count(*)::BIGINT,
+      |  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |FROM li l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL SELECT 'lineitem.l_partkey->part', count(*)::BIGINT,
+      |  sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |UNION ALL SELECT 'orders.o_custkey->customer', count(*)::BIGINT,
+      |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY fk""".stripMargin
 }

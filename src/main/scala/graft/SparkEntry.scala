@@ -152,7 +152,13 @@ object SparkEntry {
     // lossless prefix-filtering set-similarity self-join (PPJoin family)
     "q76_prefix_ssjoin" -> (Queries.q76PrefixSsjoin _),
     // ordered funnel (sequence-pattern) analysis
-    "q77_funnel" -> (Queries.q77Funnel _))
+    "q77_funnel" -> (Queries.q77Funnel _),
+    // frequency-ranked vocabulary build + order-preserving encode
+    "q78_vocab_encode" -> (Queries.q78VocabEncode _),
+    // per-doc duplicated-span fraction (ExactSubstr signal)
+    "q79_dup_spans" -> (Queries.q79DupSpans _),
+    // referential-integrity audit with planted orphans
+    "q80_fk_audit" -> (Queries.q80FkAudit _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -237,5 +243,8 @@ object SparkEntry {
     "q74_decay_scores" -> Queries.q74Sql,
     "q75_triangles" -> Queries.q75Sql,
     "q76_prefix_ssjoin" -> Queries.q76Sql,
-    "q77_funnel" -> Queries.q77Sql)
+    "q77_funnel" -> Queries.q77Sql,
+    "q78_vocab_encode" -> Queries.q78Sql,
+    "q79_dup_spans" -> Queries.q79Sql,
+    "q80_fk_audit" -> Queries.q80Sql)
 }

@@ -802,6 +802,43 @@ class PipelineSpec extends AnyFunSuite {
       ("3_purchase", 1L, 10L)))
   }
 
+  test("q78 vocab encode: frequency-ranked ids, OOV=0, order preserved") {
+    // cf: a=3, b=3, c=2, d=1 -> ids a=1 (tie with b broken by term),
+    // b=2, c=3; vocabSize=3 makes d OOV
+    val docs = Seq((1L, "b a b c b a"), (2L, "a c d")).toDF("doc_id", "text")
+    val got = graft.Queries.vocabEncode(docs, vocabSize = 3, headLen = 4)
+      .as[(Long, Long, String, Long)].collect.toSeq
+    assert(got == Seq((1L, 6L, "2,1,2,3", 0L), (2L, 3L, "1,3,0", 1L)))
+  }
+
+  test("q79 dup spans: shared 8-gram marks both docs, unique spans do not") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"$span x"), (2L, s"z $span"),
+      (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    val got = graft.Queries.q79DupSpansOn(docs)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got == Seq((1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L)))
+  }
+
+  test("q80 fk audit: planted orphans all found, clean constraints zero") {
+    val dir = sf
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plantedEv = ev.filter(pmod(col("event_id"), lit(500)) === 0).count()
+    val plantedLi = li.filter(pmod(col("l_orderkey"), lit(997)) === 0 &&
+      col("l_linenumber") === 1).count()
+    val got = graft.Queries.q80FkAudit(spark, dir)
+      .as[(String, Long, Long)].collect.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(plantedEv > 0 && plantedLi > 0) // the plant is non-degenerate
+    assert(got("events.user_id->customer") ==
+      ((ev.count() + plantedEv, plantedEv)))
+    assert(got("lineitem.l_orderkey->orders") ==
+      ((li.count() + plantedLi, plantedLi)))
+    assert(got("lineitem.l_partkey->part")._2 == 0L)
+    assert(got("orders.o_custkey->customer")._2 == 0L)
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
