@@ -3476,4 +3476,224 @@ object Queries {
       |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
       |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
       |ORDER BY fk""".stripMargin
+
+  /** One shared JSONL export fixture per sf dir: documents serialized as
+    * JSON lines (THE interchange format training pipelines consume) into
+    * 4 deterministic md5 shards via the text sink, then read back. */
+  private val jsonlBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def jsonlExportPath(s: SparkSession, dir: String): String =
+    jsonlBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-jsonl-").toString + "/data"
+      s.read.parquet(p(dir, "documents"))
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 4)
+        .select(col("shard"), to_json(struct(col("doc_id"), col("lang"),
+          col("source"), col("n_chars"), col("text"))).as("value"))
+        .repartition(col("shard"))
+        .write.partitionBy("shard").text(out)
+      out
+    })
+
+  /** JSONL sink round trip — export documents as sharded JSON lines,
+    * read them back, and prove fidelity: the aggregate includes an
+    * order-invariant md5 XOR over (doc_id, md5(text)) computed FROM THE
+    * READ-BACK ROWS, while the oracle computes the same fingerprint from
+    * the raw parquet — any corruption introduced by the JSON
+    * encode/decode (escaping, unicode, truncation) breaks the match.
+    * Scale shape: the export is one pass partitioned by a stable md5
+    * shard (a doc's shard never changes as the corpus grows — q36's
+    * property), the read-back is a text scan + one codegen'd from_json;
+    * per-shard stats are one hash agg. */
+  def q81JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = jsonlExportPath(s, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, source STRING, " +
+        "n_chars BIGINT, text STRING")
+    val back = s.read.text(out)
+      .withColumn("r", from_json(col("value"), schema))
+      .select(col("shard").cast("long").as("shard"), col("r.*"))
+    back.select(col("shard"), col("n_chars"),
+        conv(substring(md5(concat_ws("|", col("doc_id"),
+          md5(col("text")))), 1, 15), 16, 10).cast("long").as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        expr("bit_xor(fp)").as("xor_fp"))
+      .orderBy("shard")
+  }
+
+  val q81Sql: String =
+    """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4
+      |    AS shard,
+      |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+      |  bit_xor(('0x' || substr(md5(concat_ws('|', doc_id, md5(text))),
+      |    1, 15))::BIGINT)::BIGINT AS xor_fp
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Training-mixture allocation — largest-remainder (Hamilton)
+    * apportionment of a fixed sample budget across sources, weighted by
+    * character mass: every source gets ⌊budget·mass/total⌋ and the
+    * leftover seats go to the largest remainders (ties by source name,
+    * so both engines pick identically). The allocation is all-integer,
+    * sums to the budget EXACTLY (what naive per-source rounding can't
+    * guarantee), and is the standard way a data-mixture spec ("X% web,
+    * Y% code…") is turned into concrete per-source sample counts.
+    * Scale shape: one source-keyed agg (sources ≪ corpus), then the
+    * apportionment runs on the AGGREGATED source table — the global
+    * window is safe for the same reason q78's vocab rank is. */
+  private[graft] def mixtureAlloc(per: DataFrame, budget: Long): DataFrame = {
+    val tot = per.agg(sum("mass").as("t"))
+    val base = per.crossJoin(broadcast(tot))
+      .withColumn("floor_alloc", expr(s"($budget * mass) div t"))
+      .withColumn("rem", expr(s"($budget * mass) % t"))
+    val missing = broadcast(
+      base.agg((lit(budget) - sum("floor_alloc")).as("missing")))
+    base.withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(missing)
+      .select(col("source"), col("n_docs"), col("mass"),
+        (col("floor_alloc") +
+          when(col("rk") <= col("missing"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
+  def q82MixtureAlloc(s: SparkSession, dir: String): DataFrame =
+    mixtureAlloc(
+      s.read.parquet(p(dir, "documents"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("mass")),
+      budget = 997L)
+
+  val q82Sql: String =
+    """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(n_chars)::BIGINT AS mass FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(mass)::BIGINT AS t FROM per),
+      |base AS (SELECT source, n_docs, mass,
+      |    (997 * mass) // t AS floor_alloc, (997 * mass) % t AS rem
+      |  FROM per, tot),
+      |extra AS (SELECT source,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+      |    (SELECT 997 - sum(floor_alloc) FROM base) AS missing FROM base)
+      |SELECT b.source, b.n_docs, b.mass,
+      |  (b.floor_alloc +
+      |    CASE WHEN e.rk <= e.missing THEN 1 ELSE 0 END)::BIGINT AS alloc
+      |FROM base b JOIN extra e USING (source) ORDER BY source""".stripMargin
+
+  /** One shared INTERLEAVED-SPANS table per sf dir — the north-rule input
+    * shape verbatim: (doc_id, spans:array<struct<kind:string,text:string,
+    * media_ref:string,offset:int>>), committed through the TableIO
+    * snapshot store (the Iceberg model). Synthesis is a deterministic
+    * expression over the documents table (both engines replay it
+    * bit-identically): each 8-token chunk becomes a text span, and every
+    * chunk where (doc_id + i) % 3 == 0 is followed by an image span with
+    * media_ref m((doc_id·7+i) mod 50); offsets are the flattened element
+    * positions. Empty strings (not nulls) fill the unused struct fields
+    * so the sequence fingerprint has no null-concat semantics. */
+  private val spansBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def spansTableDir(s: SparkSession, dir: String): String =
+    spansBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-spans-").toString
+      val tio = new graft.tableio.TableIO(out, s)
+      tio.commit(Map("src" -> "documents"),
+        Map("docs_spans" -> interleavedSpans(
+          s.read.parquet(p(dir, "documents")))))
+      out
+    })
+
+  private[graft] def interleavedSpans(docs: DataFrame): DataFrame = {
+    val ts = TextAnalysis.tokens(col("text"))
+    val nc = least((size(ts) + 7).cast("long") / 8, lit(6L)).cast("int")
+    val chunks = transform(sequence(lit(1), nc), i => {
+      val txt = array_join(slice(ts, (i - lit(1)) * 8 + 1, lit(8)), " ")
+      val textSpan = struct(lit("text").as("kind"), txt.as("text"),
+        lit("").as("media_ref"))
+      val mediaSpan = struct(lit("image").as("kind"), lit("").as("text"),
+        concat(lit("m"),
+          ((col("doc_id") * 7 + i) % 50).cast("string")).as("media_ref"))
+      when((col("doc_id") + i) % 3 === 0, array(textSpan, mediaSpan))
+        .otherwise(array(textSpan))
+    })
+    val spans = transform(flatten(chunks), (e, idx) =>
+      struct(e.getField("kind").as("kind"), e.getField("text").as("text"),
+        e.getField("media_ref").as("media_ref"),
+        idx.cast("int").as("offset")))
+    docs.filter(size(ts) >= 1)
+      .select(col("doc_id"), spans.as("spans"))
+  }
+
+  /** Interleaved text+media span profile — the query family the north
+    * rule's input hint names: consume a snapshot-store table of
+    * (doc_id, spans array<struct<kind,text,media_ref,offset>>), emit per
+    * doc the span count, media count, resolved media bytes (media_ref
+    * joined to md5-derived sizes — the metadata-resolution join a
+    * multimodal pipeline runs), and an ORDER-SENSITIVE md5 fingerprint
+    * of the full (kind, text, media_ref, offset) sequence — the per-row
+    * span-sequence-equality invariant as one comparable value. Scale
+    * shape: the fingerprint and span counts are per-row expressions (no
+    * shuffle); only (doc_id, media_ref) pairs explode and shuffle for
+    * the media agg; the spans payload never moves. */
+  def q83SpanProfile(s: SparkSession, dir: String): DataFrame = {
+    val tio = new graft.tableio.TableIO(spansTableDir(s, dir), s)
+    spanProfile(tio.table(tio.latest.get, "docs_spans"))
+  }
+
+  private[graft] def spanProfile(t: DataFrame): DataFrame = {
+    val seqFp = md5(array_join(transform(col("spans"),
+      e => concat_ws("|", e.getField("kind"), e.getField("text"),
+        e.getField("media_ref"),
+        e.getField("offset").cast("string"))), "#"))
+    val base = t.select(col("doc_id"),
+      size(col("spans")).cast("long").as("n_spans"), seqFp.as("seq_fp"),
+      filter(col("spans"),
+        e => e.getField("kind") === "image").as("media"))
+    val magg = base
+      .select(col("doc_id"), explode(col("media")).as("m"))
+      .select(col("doc_id"), col("m.media_ref").as("ref"))
+      .withColumn("bytes",
+        conv(substring(md5(col("ref")), 1, 6), 16, 10).cast("long") % 100000)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_media"), sum("bytes").as("media_bytes"))
+    base.select("doc_id", "n_spans", "seq_fp")
+      .join(magg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_media"), lit(0L)).as("n_media"),
+        coalesce(col("media_bytes"), lit(0L)).as("media_bytes"),
+        col("seq_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q83Sql: String =
+    """WITH base AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text,'\s+'), x->x<>'') AS ts
+      |  FROM documents),
+      |ch AS (SELECT doc_id, ts, least((len(ts) + 7) // 8, 6)::INT AS nc
+      |  FROM base WHERE len(ts) >= 1),
+      |sp AS (SELECT doc_id, flatten([
+      |    CASE WHEN (doc_id + i) % 3 = 0 THEN
+      |      [{'kind':'text','text':
+      |          array_to_string(ts[(i-1)*8+1:least(i*8,len(ts))],' '),
+      |        'media_ref':''},
+      |       {'kind':'image','text':'',
+      |        'media_ref':'m'||((doc_id*7+i)%50)::VARCHAR}]
+      |    ELSE
+      |      [{'kind':'text','text':
+      |          array_to_string(ts[(i-1)*8+1:least(i*8,len(ts))],' '),
+      |        'media_ref':''}]
+      |    END
+      |  FOR i IN generate_series(1, nc)]) AS lst FROM ch),
+      |prof AS (SELECT doc_id, len(lst)::BIGINT AS n_spans,
+      |    md5(array_to_string([lst[i].kind||'|'||lst[i].text||'|'||
+      |        lst[i].media_ref||'|'||(i-1)::VARCHAR
+      |      FOR i IN generate_series(1, len(lst))], '#')) AS seq_fp,
+      |    list_filter(lst, e -> e.kind = 'image') AS media FROM sp),
+      |m AS (SELECT doc_id, unnest(media, recursive := true) FROM prof),
+      |magg AS (SELECT doc_id, count(*)::BIGINT AS n_media,
+      |    sum(('0x'||substr(md5(media_ref),1,6))::BIGINT % 100000)::BIGINT
+      |      AS media_bytes
+      |  FROM m GROUP BY 1)
+      |SELECT p.doc_id, p.n_spans, coalesce(n_media,0)::BIGINT AS n_media,
+      |  coalesce(media_bytes,0)::BIGINT AS media_bytes, p.seq_fp
+      |FROM prof p LEFT JOIN magg USING (doc_id) ORDER BY doc_id""".stripMargin
 }

@@ -158,7 +158,13 @@ object SparkEntry {
     // per-doc duplicated-span fraction (ExactSubstr signal)
     "q79_dup_spans" -> (Queries.q79DupSpans _),
     // referential-integrity audit with planted orphans
-    "q80_fk_audit" -> (Queries.q80FkAudit _))
+    "q80_fk_audit" -> (Queries.q80FkAudit _),
+    // JSONL sink round trip with read-back content fingerprint
+    "q81_jsonl_roundtrip" -> (Queries.q81JsonlRoundtrip _),
+    // largest-remainder training-mixture apportionment
+    "q82_mixture_alloc" -> (Queries.q82MixtureAlloc _),
+    // interleaved text+media spans table: profile + media resolution
+    "q83_span_profile" -> (Queries.q83SpanProfile _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -246,5 +252,8 @@ object SparkEntry {
     "q77_funnel" -> Queries.q77Sql,
     "q78_vocab_encode" -> Queries.q78Sql,
     "q79_dup_spans" -> Queries.q79Sql,
-    "q80_fk_audit" -> Queries.q80Sql)
+    "q80_fk_audit" -> Queries.q80Sql,
+    "q81_jsonl_roundtrip" -> Queries.q81Sql,
+    "q82_mixture_alloc" -> Queries.q82Sql,
+    "q83_span_profile" -> Queries.q83Sql)
 }

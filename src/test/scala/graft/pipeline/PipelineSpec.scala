@@ -839,6 +839,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("orders.o_custkey->customer")._2 == 0L)
   }
 
+  test("q81 jsonl round trip: read-back multiset equals the source") {
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    val out = graft.Queries.jsonlExportPath(spark, sf)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
+    val back = spark.read.text(out)
+      .withColumn("r", from_json(col("value"), schema))
+      .select("r.doc_id", "r.lang", "r.source", "r.n_chars", "r.text")
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("q82 mixture allocation: exact budget sum, remainder + tie rules") {
+    val per = Seq(("A", 10L, 5L), ("B", 6L, 3L), ("C", 4L, 2L))
+      .toDF("source", "n_docs", "mass")
+    val got = graft.Queries.mixtureAlloc(per, budget = 7L)
+      .as[(String, Long, Long, Long)].collect.toSeq
+    // floors 3/2/1 leave one seat; A has the largest remainder (5)
+    assert(got == Seq(("A", 10L, 5L, 4L), ("B", 6L, 3L, 2L),
+      ("C", 4L, 2L, 1L)))
+    assert(got.map(_._4).sum == 7L)
+    // equal remainders: the seat goes to the lexicographically first
+    val tie = Seq(("A", 1L, 1L), ("B", 1L, 1L)).toDF("source", "n_docs", "mass")
+    val gt = graft.Queries.mixtureAlloc(tie, budget = 3L)
+      .as[(String, Long, Long, Long)].collect.toSeq
+    assert(gt == Seq(("A", 1L, 1L, 2L), ("B", 1L, 1L, 1L)))
+  }
+
+  test("q83 interleaved spans: synthesis shape, offsets, media resolution") {
+    val docs = Seq(
+      (1L, "a b c"), // 1 chunk, (1+1)%3!=0 -> text only
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")) // chunk1 + media m15, chunk2
+      .toDF("doc_id", "text")
+    val spans = graft.Queries.interleavedSpans(docs)
+      .select(col("doc_id"), expr(
+        "transform(spans, e -> concat_ws('|', e.kind, e.text, e.media_ref, e.offset))")
+        .as("s"))
+      .as[(Long, Seq[String])].collect.toMap
+    assert(spans(1L) == Seq("text|a b c||0"))
+    assert(spans(2L) == Seq("text|t1 t2 t3 t4 t5 t6 t7 t8||0",
+      "image||m15|1", "text|t9 t10||2"))
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val prof = graft.Queries.spanProfile(graft.Queries.interleavedSpans(docs))
+      .as[(Long, Long, Long, Long, String)].collect.toSeq
+    val m15bytes = java.lang.Long.parseLong(md5hex("m15").take(6), 16) % 100000
+    assert(prof == Seq(
+      (1L, 1L, 0L, 0L, md5hex("text|a b c||0")),
+      (2L, 3L, 1L, m15bytes, md5hex(
+        "text|t1 t2 t3 t4 t5 t6 t7 t8||0#image||m15|1#text|t9 t10||2"))))
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
