@@ -479,11 +479,13 @@ class PlanSpec extends AnyFunSuite {
       s"exact verify must remain in the plan:\n$p")
   }
 
-  test("q73/q75 pair generation stays key-grouped: no cartesian anywhere") {
-    // both queries build quadratic candidates, but always WITHIN a key
-    // group (doc_id / l_orderkey) via an equi-join — the difference
-    // between feasible and infeasible at 100 TB
-    for (q <- Seq(Queries.q73TermCooccur _, Queries.q75Triangles _)) {
+  test("q73/q75/q76 pair generation stays key-grouped: no cartesian anywhere") {
+    // all three build quadratic candidates, but always WITHIN a key
+    // group (doc_id / l_orderkey / shared prefix shingle) via an
+    // equi-join — the difference between feasible and infeasible at
+    // 100 TB
+    for (q <- Seq(Queries.q73TermCooccur _, Queries.q75Triangles _,
+        Queries.q76PrefixSsjoin _)) {
       val p = plan(q(spark, sf))
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
