@@ -387,8 +387,9 @@ object Queries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
-  /** Oracle generated from the same marker table as the Spark expression. */
-  val q11Sql: String = {
+  /** Oracle core generated from the same marker table as the Spark
+    * expression (shared by q11 and the q84 confusion matrix). */
+  private def langPredSql: String = {
     val scores = TextAnalysis.LangMarkers.map { case (lang, ms) =>
       val sum = ms.map { m =>
         val esc = m.replace("'", "''")
@@ -403,8 +404,10 @@ object Queries {
     s"""SELECT doc_id, lang,
        |  CASE $cases ELSE 'und' END AS lang_pred
        |FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p, $best AS best
-       |      FROM documents) ORDER BY doc_id""".stripMargin
+       |      FROM documents)""".stripMargin
   }
+
+  val q11Sql: String = langPredSql + " ORDER BY doc_id"
 
   def q12ExactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(s.read.parquet(p(dir, "documents")))
@@ -3130,12 +3133,18 @@ object Queries {
     * orientation would be by (degree, id) instead, which provably bounds
     * per-vertex join fan-out by sqrt(|E|); id order keeps the DuckDB
     * twin bit-identical and is the same plan shape). */
-  private[graft] def triangles(lp: DataFrame): DataFrame = {
+  /** Support-thresholded canonical (u < v) co-purchase edges: per-order
+    * pair generation (key-group quadratic only), kept at weight ≥ 2. */
+  private[graft] def copurchaseEdges(lp: DataFrame): DataFrame = {
     val a = lp.select(col("ok"), col("pk").as("u"))
     val b = lp.select(col("ok"), col("pk").as("v"))
-    val e = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+    a.join(b, Seq("ok")).filter(col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select("u", "v")
+  }
+
+  private[graft] def triangles(lp: DataFrame): DataFrame = {
+    val e = copurchaseEdges(lp)
     val e1 = e.select(col("u").as("x"), col("v").as("y"))
     val e2 = e.select(col("u").as("y"), col("v").as("z"))
     val e3 = e.select(col("u").as("x"), col("v").as("z"))
@@ -3696,4 +3705,73 @@ object Queries {
       |SELECT p.doc_id, p.n_spans, coalesce(n_media,0)::BIGINT AS n_media,
       |  coalesce(media_bytes,0)::BIGINT AS media_bytes, p.seq_fp
       |FROM prof p LEFT JOIN magg USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Classifier-vs-label confusion matrix — the EVALUATION operator a
+    * pipeline runs on every heuristic model it deploys (here: q11's
+    * language-ID against the stored label): per (label, prediction)
+    * cell, document count and summed character mass. One scan + one
+    * tiny keyed agg (cells ≤ |langs|²); the per-row classifier stays a
+    * codegen'd expression. The oracle rebuilds the classifier from the
+    * same marker table q11's oracle uses, so the matrix is pinned
+    * end-to-end, not just the diagonal. */
+  def q84LangConfusion(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"),
+        col("n_chars"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "lang_pred")
+
+  val q84Sql: String =
+    s"""WITH pred AS ($langPredSql),
+       |d AS (SELECT doc_id, n_chars FROM documents)
+       |SELECT lang, lang_pred, count(*)::BIGINT AS n_docs,
+       |  sum(n_chars)::BIGINT AS sum_chars
+       |FROM pred JOIN d USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Common-neighbor link prediction ("customers who bought X also
+    * bought Y") over the co-purchase graph — the recommendation operator
+    * built on q75's edge discipline: score candidate pairs by shared
+    * neighbors, drop pairs that are ALREADY edges (an anti-join), keep
+    * score ≥ 2. Scale shape: the 2-hop join's fan-out is Σ deg² over the
+    * SUPPORT-THRESHOLDED adjacency (the w≥2 cut is what keeps hub
+    * degrees bounded; at web scale add a per-node top-degree cap before
+    * the join — same plan shape); candidate keys are mid-vertex-keyed
+    * equi-joins, the anti-join is edge-keyed, nothing is corpus-
+    * quadratic. */
+  def q85CommonNeighbors(s: SparkSession, dir: String): DataFrame =
+    commonNeighbors(
+      s.read.parquet(p(dir, "lineitem"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+
+  private[graft] def commonNeighbors(lp: DataFrame): DataFrame = {
+    val e = copurchaseEdges(lp)
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    val x = adj.select(col("a"), col("b").as("m"))
+    val y = adj.select(col("a").as("m"), col("b"))
+    val pairs = x.join(y, Seq("m")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 2)
+    pairs.join(e, pairs("a") === e("u") && pairs("b") === e("v"),
+        "left_anti")
+      .orderBy(col("common").desc, col("a"), col("b"))
+  }
+
+  val q85Sql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |e AS (SELECT a.pk AS u, b.pk AS v
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+      |pairs AS (SELECT x.a AS a, y.b AS b, count(*)::BIGINT AS common
+      |  FROM adj x JOIN adj y ON x.b = y.a AND x.a < y.b
+      |  GROUP BY 1, 2)
+      |SELECT p.a, p.b, p.common FROM pairs p
+      |LEFT JOIN e ON e.u = p.a AND e.v = p.b
+      |WHERE e.u IS NULL AND p.common >= 2
+      |ORDER BY common DESC, a, b""".stripMargin
 }

@@ -164,7 +164,11 @@ object SparkEntry {
     // largest-remainder training-mixture apportionment
     "q82_mixture_alloc" -> (Queries.q82MixtureAlloc _),
     // interleaved text+media spans table: profile + media resolution
-    "q83_span_profile" -> (Queries.q83SpanProfile _))
+    "q83_span_profile" -> (Queries.q83SpanProfile _),
+    // classifier-vs-label confusion matrix (evaluation operator)
+    "q84_lang_confusion" -> (Queries.q84LangConfusion _),
+    // common-neighbor link prediction over the co-purchase graph
+    "q85_common_neighbors" -> (Queries.q85CommonNeighbors _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -255,5 +259,7 @@ object SparkEntry {
     "q80_fk_audit" -> Queries.q80Sql,
     "q81_jsonl_roundtrip" -> Queries.q81Sql,
     "q82_mixture_alloc" -> Queries.q82Sql,
-    "q83_span_profile" -> Queries.q83Sql)
+    "q83_span_profile" -> Queries.q83Sql,
+    "q84_lang_confusion" -> Queries.q84Sql,
+    "q85_common_neighbors" -> Queries.q85Sql)
 }

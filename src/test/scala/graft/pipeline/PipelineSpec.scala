@@ -892,6 +892,34 @@ class PipelineSpec extends AnyFunSuite {
         "text|t1 t2 t3 t4 t5 t6 t7 t8||0#image||m15|1#text|t9 t10||2"))))
   }
 
+  test("q84 lang confusion: off-diagonal cells surface misclassification") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q84-").toString
+    Seq(
+      (1L, "the cat and the hat", "en", 19L),   // pred en  (diagonal)
+      (2L, "der hund und die katze", "en", 22L), // pred de (off-diagonal)
+      (3L, "!!!", "de", 3L))                     // pred und (off-diagonal)
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.Queries.q84LangConfusion(spark, dir)
+      .as[(String, String, Long, Long)].collect.toSeq
+    assert(got == Seq(("de", "und", 1L, 3L), ("en", "de", 1L, 22L),
+      ("en", "en", 1L, 19L)))
+  }
+
+  test("q85 common neighbors: 2-hop score, existing edges anti-joined") {
+    // edges (support 2 each): 1-2, 2-3, 1-4, 4-3. Non-edges (1,3) and
+    // (2,4) each share TWO neighbors -> recommended; every adjacent pair
+    // is suppressed by the anti-join
+    val lp = (Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L))
+      .zipWithIndex.flatMap { case ((u, v), i) =>
+        Seq((2L * i + 100L, u), (2L * i + 100L, v),
+          (2L * i + 101L, u), (2L * i + 101L, v))
+      }).toDF("ok", "pk")
+    val got = graft.Queries.commonNeighbors(lp)
+      .as[(Long, Long, Long)].collect.toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 4L, 2L)))
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
