@@ -3774,4 +3774,100 @@ object Queries {
       |LEFT JOIN e ON e.u = p.a AND e.v = p.b
       |WHERE e.u IS NULL AND p.common >= 2
       |ORDER BY common DESC, a, b""".stripMargin
+
+  /** Frequent 3-itemsets (the Apriori step past q75's pairs) — parts
+    * bought together in ≥ 2 orders as a JOINT triple (a stronger signal
+    * than three pairwise edges: the triangle can exist without any
+    * single order containing all three). Scale shape: candidate triples
+    * are generated strictly WITHIN an order key by two self-equi-joins
+    * with the x<y<z canonical order, so fan-out is per-order C(lines,3)
+    * — bounded by basket size, never corpus-quadratic; support is one
+    * triple-keyed count. At web scale the standard Apriori prune
+    * (generate triples only from FREQUENT pairs) composes in front of
+    * this same plan. */
+  private[graft] def frequentTriples(lp: DataFrame): DataFrame = {
+    val a = lp.select(col("ok"), col("pk").as("x"))
+    val b = lp.select(col("ok"), col("pk").as("y"))
+    val c = lp.select(col("ok"), col("pk").as("z"))
+    a.join(b, Seq("ok")).filter(col("x") < col("y"))
+      .join(c, Seq("ok")).filter(col("z") > col("y"))
+      .groupBy("x", "y", "z").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("x"), col("y"), col("z"))
+  }
+
+  def q86FrequentTriples(s: SparkSession, dir: String): DataFrame =
+    frequentTriples(s.read.parquet(p(dir, "lineitem"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct())
+
+  val q86Sql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem)
+      |SELECT a.pk AS x, b.pk AS y, c.pk AS z, count(*)::BIGINT AS support
+      |FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+      |JOIN lp c ON c.ok = a.ok AND c.pk > b.pk
+      |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      |ORDER BY support DESC, x, y, z""".stripMargin
+
+  /** Event-type transition matrix — first-order Markov statistics of the
+    * event stream (the session-flow model behind next-action prediction
+    * and anomaly scoring): per (prev, next) ordered pair of consecutive
+    * events of one user, the transition count. Total order pinned by
+    * (ts, event_id) so both engines see identical successors. One
+    * user_id exchange + one sort feed the lag window; the matrix agg is
+    * |types|²-keyed — map-side combinable, tiny at any corpus scale. */
+  def q87EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    s.read.parquet(p(dir, "events"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val q87Sql: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Cohort retention matrix — the product-analytics staple: users
+    * bucketed by first-activity period (12-hour buckets — fine enough
+    * that the synthetic stream shows real churn), counted per
+    * (cohort, age) cell over their DISTINCT active periods. All integer
+    * (epoch-µs floor division); the cohort origin is normalized to the
+    * corpus min so the matrix is scale-factor-stable. Scale shape: one
+    * distinct (user, bucket) agg, one per-user min, one user-keyed join
+    * back (all on the same user partitioning), and a cells-sized final
+    * agg; per-user state is one bucket id. */
+  def q88CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val act = s.read.parquet(p(dir, "events"))
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 43200000000").as("wk"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("wk").as("c0"))
+    val origin = cohort.agg(min("c0").as("o"))
+    act.join(cohort, Seq("user_id")).crossJoin(broadcast(origin))
+      .groupBy((col("c0") - col("o")).as("cohort_bucket"),
+        (col("wk") - col("c0")).as("age_buckets"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_bucket", "age_buckets")
+  }
+
+  val q88Sql: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 43200000000 AS wk FROM events),
+      |cohort AS (SELECT user_id, min(wk) AS c0 FROM act GROUP BY 1)
+      |SELECT c.c0 - (SELECT min(c0) FROM cohort) AS cohort_bucket,
+      |  a.wk - c.c0 AS age_buckets, count(*)::BIGINT AS n_users
+      |FROM act a JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -168,7 +168,13 @@ object SparkEntry {
     // classifier-vs-label confusion matrix (evaluation operator)
     "q84_lang_confusion" -> (Queries.q84LangConfusion _),
     // common-neighbor link prediction over the co-purchase graph
-    "q85_common_neighbors" -> (Queries.q85CommonNeighbors _))
+    "q85_common_neighbors" -> (Queries.q85CommonNeighbors _),
+    // frequent 3-itemsets (Apriori step past pairwise edges)
+    "q86_frequent_triples" -> (Queries.q86FrequentTriples _),
+    // first-order Markov event-type transition matrix
+    "q87_event_transitions" -> (Queries.q87EventTransitions _),
+    // cohort retention matrix over 12h activity buckets
+    "q88_cohort_retention" -> (Queries.q88CohortRetention _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -261,5 +267,8 @@ object SparkEntry {
     "q82_mixture_alloc" -> Queries.q82Sql,
     "q83_span_profile" -> Queries.q83Sql,
     "q84_lang_confusion" -> Queries.q84Sql,
-    "q85_common_neighbors" -> Queries.q85Sql)
+    "q85_common_neighbors" -> Queries.q85Sql,
+    "q86_frequent_triples" -> Queries.q86Sql,
+    "q87_event_transitions" -> Queries.q87Sql,
+    "q88_cohort_retention" -> Queries.q88Sql)
 }

@@ -920,6 +920,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L, 2L), (2L, 4L, 2L)))
   }
 
+  test("q86 frequent triples: joint support, not pairwise support") {
+    // {1,2,3} in o1+o2 and {1,2,4} in o2+o3 are frequent; {1,3,4} and
+    // {2,3,4} appear jointly only in o2 and are pruned
+    val lp = Seq((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L), (3L, 4L)).toDF("ok", "pk")
+    val got = graft.Queries.frequentTriples(lp)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got == Seq((1L, 2L, 3L, 2L), (1L, 2L, 4L, 2L)))
+  }
+
+  test("q87 transitions: per-user consecutive pairs, ts ties by event_id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q87-").toString
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    def ts(plusUs: Long) = java.sql.Timestamp.from(t0.plusNanos(plusUs * 1000))
+    Seq(
+      (1L, 10L, ts(0L), "view"),
+      (2L, 10L, ts(1L), "click"),
+      (3L, 10L, ts(1L), "purchase"), // tie with e2 -> ordered by event_id
+      (4L, 20L, ts(5L), "view"))     // single event, no transition
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.Queries.q87EventTransitions(spark, dir)
+      .as[(String, String, Long)].collect.toSeq
+    assert(got == Seq(("click", "purchase", 1L), ("view", "click", 1L)))
+  }
+
+  test("q88 cohort retention: first-bucket cohorts, distinct activity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q88-").toString
+    val bucket = 43200L // seconds
+    def ts(b: Long, off: Long = 100L) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(b * bucket + off))
+    Seq( // u1 cohort 0, active {0,0,1,3} (dup collapses); u2 cohort 1, {1,2}
+      (1L, ts(0)), (1L, ts(0, 200L)), (1L, ts(1)), (1L, ts(3)),
+      (2L, ts(1)), (2L, ts(2)))
+      .toDF("user_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.Queries.q88CohortRetention(spark, dir)
+      .as[(Long, Long, Long)].collect.toSeq
+    assert(got == Seq((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
