@@ -3870,4 +3870,75 @@ object Queries {
       |  a.wk - c.c0 AS age_buckets, count(*)::BIGINT AS n_users
       |FROM act a JOIN cohort c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-label centroid statistics over the embedding table in QUANTIZED
+    * INTEGER space — the class-profile/centroid-export step of an
+    * embedding pipeline, made hash-oracleable: each component is
+    * quantized floor(x·1000 + 0.5) AFTER an explicit float→double cast
+    * (float→double is exact and double arithmetic is IEEE-identical in
+    * both engines — quantizing in float would hit engine-specific
+    * promotion orders), then summed per label. A float mean could never
+    * be hash-compared (summation order moves ULPs); integer sums are
+    * order-invariant, and centroid = sum/n is recoverable exactly by
+    * the consumer. One scan, per-row codegen'd array fold
+    * (functions.aggregate — no UDF), one label-keyed agg. */
+  def q89CentroidStats(s: SparkSession, dir: String): DataFrame = {
+    def qz(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c.cast("double") * 1000.0 + 0.5).cast("long")
+    s.read.parquet(p(dir, "embeddings"))
+      .select(col("label"),
+        aggregate(transform(col("embedding"), x => qz(x)), lit(0L),
+          (acc, v) => acc + v).as("mass"),
+        qz(element_at(col("embedding"), 1)).as("c0"),
+        qz(element_at(col("embedding"), 2)).as("c1"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("mass").as("sum_mass"),
+        sum("c0").as("sum_c0"), sum("c1").as("sum_c1"))
+      .orderBy("label")
+  }
+
+  val q89Sql: String =
+    """WITH q AS (SELECT label,
+      |    list_sum([floor(x::DOUBLE * 1000 + 0.5)::BIGINT
+      |      FOR x IN embedding]) AS mass,
+      |    floor(embedding[1]::DOUBLE * 1000 + 0.5)::BIGINT AS c0,
+      |    floor(embedding[2]::DOUBLE * 1000 + 0.5)::BIGINT AS c1
+      |  FROM embeddings)
+      |SELECT label, count(*)::BIGINT AS n_vecs, sum(mass)::BIGINT AS sum_mass,
+      |  sum(c0)::BIGINT AS sum_c0, sum(c1)::BIGINT AS sum_c1
+      |FROM q GROUP BY label ORDER BY label""".stripMargin
+
+  /** Power-of-two histogram of inter-arrival gaps — the latency/gap
+    * distribution profile (think HdrHistogram) in EXACT integer buckets:
+    * bucket = bit length of the µs gap (`length(bin(gap))` ≡ DuckDB
+    * `length(ltrim(bin(gap),'0'))` — an integer log2 with none of
+    * libm's cross-engine floor(log2()) rounding hazard), zero/negative
+    * gaps pinned to bucket 0. One user-keyed window for the lag, then a
+    * (type, bucket)-keyed count — the histogram is ≤ 64 buckets per
+    * type at any corpus size. */
+  def q90GapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    s.read.parquet(p(dir, "events"))
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .withColumn("log2_bucket",
+        when(col("gap") <= 0, 0)
+          .otherwise(length(bin(col("gap")))).cast("int"))
+      .groupBy("event_type", "log2_bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "log2_bucket")
+  }
+
+  val q90Sql: String =
+    """WITH seq AS (SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events),
+      |g AS (SELECT event_type, (CASE WHEN gap <= 0 THEN 0
+      |    ELSE length(ltrim(bin(gap), '0')) END)::INT AS log2_bucket
+      |  FROM seq WHERE gap IS NOT NULL)
+      |SELECT event_type, log2_bucket, count(*)::BIGINT AS n
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -174,7 +174,11 @@ object SparkEntry {
     // first-order Markov event-type transition matrix
     "q87_event_transitions" -> (Queries.q87EventTransitions _),
     // cohort retention matrix over 12h activity buckets
-    "q88_cohort_retention" -> (Queries.q88CohortRetention _))
+    "q88_cohort_retention" -> (Queries.q88CohortRetention _),
+    // quantized-integer per-label embedding centroid sums
+    "q89_centroid_stats" -> (Queries.q89CentroidStats _),
+    // power-of-two (bit-length) inter-arrival gap histogram
+    "q90_gap_histogram" -> (Queries.q90GapHistogram _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -270,5 +274,7 @@ object SparkEntry {
     "q85_common_neighbors" -> Queries.q85Sql,
     "q86_frequent_triples" -> Queries.q86Sql,
     "q87_event_transitions" -> Queries.q87Sql,
-    "q88_cohort_retention" -> Queries.q88Sql)
+    "q88_cohort_retention" -> Queries.q88Sql,
+    "q89_centroid_stats" -> Queries.q89Sql,
+    "q90_gap_histogram" -> Queries.q90Sql)
 }

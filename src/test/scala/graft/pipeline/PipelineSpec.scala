@@ -963,6 +963,37 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 0L, 1L), (1L, 1L, 1L)))
   }
 
+  test("q89 centroid stats: quantization boundary + negative values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q89-").toString
+    // 0.0005f -> floor(0.5+0.5)=1; -0.0005f -> floor(-0.5+0.5)=0 after
+    // the exact float->double cast (0.0005f != 0.0005 but consistent)
+    Seq((1L, Seq(1.5f, -2.25f), 0), (2L, Seq(0.0005f, 0.25f), 0),
+      (3L, Seq(-0.0005f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    def qz(f: Float): Long = math.floor(f.toDouble * 1000.0 + 0.5).toLong
+    val got = graft.Queries.q89CentroidStats(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect.toSeq
+    assert(got == Seq(
+      (0, 2L, qz(1.5f) + qz(-2.25f) + qz(0.0005f) + qz(0.25f),
+        qz(1.5f) + qz(0.0005f), qz(-2.25f) + qz(0.25f)),
+      (1, 1L, qz(-0.0005f) + qz(1.0f), qz(-0.0005f), qz(1.0f))))
+  }
+
+  test("q90 gap histogram: bit-length buckets, zero gap pinned to 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q90-").toString
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    def ts(plusUs: Long) = java.sql.Timestamp.from(t0.plusNanos(plusUs * 1000))
+    Seq( // gaps for u1: 1 (bucket 1), 7 (bucket 3), 0 (bucket 0)
+      (1L, 10L, ts(0L), "click"), (2L, 10L, ts(1L), "click"),
+      (3L, 10L, ts(8L), "click"), (4L, 10L, ts(8L), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.Queries.q90GapHistogram(spark, dir)
+      .as[(String, Int, Long)].collect.toSeq
+    assert(got == Seq(("click", 0, 1L), ("click", 1, 1L), ("click", 3, 1L)))
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
