@@ -3941,4 +3941,100 @@ object Queries {
       |  FROM seq WHERE gap IS NOT NULL)
       |SELECT event_type, log2_bucket, count(*)::BIGINT AS n
       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-user activity BITMAP — the roaring-bitmap-lite retention/
+    * presence structure: one BIGINT per user with bit i set iff the user
+    * was active on corpus day i (day index clamped to 62 so the mask
+    * can never overflow). Built with a single `bit_or(1 << day)` agg —
+    * commutative, map-side combinable, O(1) state per user — exactly
+    * how presence bitmaps are maintained at 10^9-user scale (wider
+    * spans shard into (user, epoch-week) keys, same plan).
+    * `bit_count(mask)` recovers distinct-days-active without any
+    * distinct aggregation. */
+  def q91ActivityBitmask(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("d"))
+    val origin = ev.agg(min("d").as("o"))
+    ev.crossJoin(broadcast(origin))
+      .select(col("user_id"),
+        expr("shiftleft(1L, cast(least(d - o, 62) as int))").as("bit"))
+      .groupBy("user_id")
+      .agg(expr("bit_or(bit)").as("mask"))
+      .select(col("user_id"), col("mask"),
+        bit_count(col("mask")).cast("long").as("n_days"))
+      .orderBy("user_id")
+  }
+
+  val q91Sql: String =
+    """WITH o AS (SELECT min(epoch_us(ts) // 86400000000) AS o FROM events),
+      |d AS (SELECT user_id,
+      |    least(epoch_us(ts) // 86400000000 - o.o, 62)::INT AS day
+      |  FROM events, o),
+      |m AS (SELECT user_id, bit_or(1::BIGINT << day)::BIGINT AS mask
+      |  FROM d GROUP BY 1)
+      |SELECT user_id, mask, bit_count(mask)::BIGINT AS n_days
+      |FROM m ORDER BY user_id""".stripMargin
+
+  /** Column-level data profile — the ANALYZE/profiling pass a warehouse
+    * runs on arrival: per column, non-null count and exact distinct
+    * cardinality (the numbers that drive join planning, encoding
+    * choices, and anomaly alerts). One scan feeding k independent aggs
+    * unioned; at 100 TB the exact count(distinct) swaps for
+    * approx_count_distinct (same plan, sketch agg — the q34-twin gate
+    * pattern covers its error bound) while everything else is
+    * unchanged. */
+  def q92DataProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(p(dir, "events"))
+    def prof(c: String): DataFrame =
+      ev.agg(count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_nonnull"),
+          col("n_distinct"))
+    Seq("event_id", "user_id", "event_type", "props")
+      .map(prof).reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  val q92Sql: String =
+    """SELECT 'event_id' AS column_name, count(event_id)::BIGINT AS n_nonnull,
+      |  count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+      |UNION ALL SELECT 'user_id', count(user_id)::BIGINT,
+      |  count(DISTINCT user_id)::BIGINT FROM events
+      |UNION ALL SELECT 'event_type', count(event_type)::BIGINT,
+      |  count(DISTINCT event_type)::BIGINT FROM events
+      |UNION ALL SELECT 'props', count(props)::BIGINT,
+      |  count(DISTINCT props)::BIGINT FROM events
+      |ORDER BY column_name""".stripMargin
+
+  /** Latest event per type via ARG-MAX AGGREGATION (`max_by` over a
+    * (ts, id) struct) — the agg-instead-of-window top-1: no sort, no
+    * per-partition window state, full map-side partial aggregation;
+    * for top-1-per-key at 100 TB this beats the row_number window by
+    * the whole sort. The struct second argument makes the pick total
+    * (event_id breaks ts ties). DuckDB's arg_max can't order by a
+    * struct, so the oracle replays the identical semantics as a
+    * two-step max CTE — same values, pinned. */
+  def q93LatestByType(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "events"))
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .groupBy("event_type")
+      .agg(expr("max_by(event_id, struct(us, event_id))")
+          .as("last_event_id"),
+        max("us").as("last_us"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val q93Sql: String =
+    """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS us
+      |  FROM events),
+      |m AS (SELECT event_type, max(us) AS last_us, count(*)::BIGINT
+      |    AS n_events FROM ev GROUP BY 1),
+      |pick AS (SELECT e.event_type, max(e.event_id)::BIGINT
+      |    AS last_event_id
+      |  FROM ev e JOIN m ON m.event_type = e.event_type
+      |    AND e.us = m.last_us
+      |  GROUP BY 1)
+      |SELECT event_type, last_event_id, last_us::BIGINT AS last_us,
+      |  n_events
+      |FROM m JOIN pick USING (event_type) ORDER BY event_type""".stripMargin
 }

@@ -178,7 +178,13 @@ object SparkEntry {
     // quantized-integer per-label embedding centroid sums
     "q89_centroid_stats" -> (Queries.q89CentroidStats _),
     // power-of-two (bit-length) inter-arrival gap histogram
-    "q90_gap_histogram" -> (Queries.q90GapHistogram _))
+    "q90_gap_histogram" -> (Queries.q90GapHistogram _),
+    // per-user activity bitmap (bit_or agg + bit_count)
+    "q91_activity_bitmask" -> (Queries.q91ActivityBitmask _),
+    // column-level data profile (ANALYZE pass)
+    "q92_data_profile" -> (Queries.q92DataProfile _),
+    // arg-max aggregation: latest event per type without a window sort
+    "q93_latest_by_type" -> (Queries.q93LatestByType _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -276,5 +282,8 @@ object SparkEntry {
     "q87_event_transitions" -> Queries.q87Sql,
     "q88_cohort_retention" -> Queries.q88Sql,
     "q89_centroid_stats" -> Queries.q89Sql,
-    "q90_gap_histogram" -> Queries.q90Sql)
+    "q90_gap_histogram" -> Queries.q90Sql,
+    "q91_activity_bitmask" -> Queries.q91Sql,
+    "q92_data_profile" -> Queries.q92Sql,
+    "q93_latest_by_type" -> Queries.q93Sql)
 }

@@ -994,6 +994,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(("click", 0, 1L), ("click", 1, 1L), ("click", 3, 1L)))
   }
 
+  test("q91 activity bitmask: bit per day, dup days collapse, clamp") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q91-").toString
+    def ts(day: Long, off: Long = 3600L) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day * 86400L + off))
+    Seq( // u1 active days {0,0,2} -> mask 0b101; u2 day 70 -> clamped bit 62
+      (1L, ts(100)), (1L, ts(100, 7200L)), (1L, ts(102)),
+      (2L, ts(170)))
+      .toDF("user_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.Queries.q91ActivityBitmask(spark, dir)
+      .as[(Long, Long, Long)].collect.toSeq
+    assert(got == Seq((1L, 5L, 2L), (2L, 1L << 62, 1L)))
+  }
+
+  test("q93 arg-max agg: ts ties broken by event_id, no window sort") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q93-").toString
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    def ts(plusUs: Long) = java.sql.Timestamp.from(t0.plusNanos(plusUs * 1000))
+    Seq( // two events at the max ts: the larger event_id must win
+      (5L, ts(10L), "click"), (9L, ts(10L), "click"), (1L, ts(0L), "click"))
+      .toDF("event_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.Queries.q93LatestByType(spark, dir)
+      .as[(String, Long, Long, Long)].collect.toSeq
+    val baseUs = t0.toEpochMilli * 1000L
+    assert(got == Seq(("click", 9L, baseUs + 10L, 3L)))
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
