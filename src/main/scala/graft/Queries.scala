@@ -4037,4 +4037,37 @@ object Queries {
       |SELECT event_type, last_event_id, last_us::BIGINT AS last_us,
       |  n_events
       |FROM m JOIN pick USING (event_type) ORDER BY event_type""".stripMargin
+
+  /** Sharded (Merkle-level) table checksums — the LOCALIZATION step of
+    * the anti-entropy protocol q72 begins: the same order-invariant
+    * row fingerprint, aggregated per md5 shard of the key, so two
+    * replicas that disagree compare 16 shard digests and re-scan ONLY
+    * the shard that differs — O(table/16) repair instead of O(table),
+    * recursing to any depth by widening the shard prefix. Same single
+    * scan + map-side partials; the group key adds no shuffle width
+    * (16 groups). */
+  def q94ShardChecksums(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 16).as("shard"),
+        conv(substring(md5(concat_ws("|", col("doc_id"), col("lang"),
+          col("source"), col("n_chars"), md5(col("text")))), 1, 15), 16, 10)
+          .cast("long").as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(fp)").as("xor_fp"),
+        sum(col("fp") % 1000000007L).as("sum_fp"))
+      .orderBy("shard")
+
+  val q94Sql: String =
+    """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+      |    AS shard,
+      |  count(*)::BIGINT AS n_rows,
+      |  bit_xor(('0x' || substr(md5(concat_ws('|', doc_id, lang, source,
+      |    n_chars, md5(text))), 1, 15))::BIGINT)::BIGINT AS xor_fp,
+      |  sum(('0x' || substr(md5(concat_ws('|', doc_id, lang, source,
+      |    n_chars, md5(text))), 1, 15))::BIGINT % 1000000007)::BIGINT
+      |    AS sum_fp
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -184,7 +184,9 @@ object SparkEntry {
     // column-level data profile (ANALYZE pass)
     "q92_data_profile" -> (Queries.q92DataProfile _),
     // arg-max aggregation: latest event per type without a window sort
-    "q93_latest_by_type" -> (Queries.q93LatestByType _))
+    "q93_latest_by_type" -> (Queries.q93LatestByType _),
+    // sharded (Merkle-level) checksums: anti-entropy localization
+    "q94_shard_checksums" -> (Queries.q94ShardChecksums _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -285,5 +287,6 @@ object SparkEntry {
     "q90_gap_histogram" -> Queries.q90Sql,
     "q91_activity_bitmask" -> Queries.q91Sql,
     "q92_data_profile" -> Queries.q92Sql,
-    "q93_latest_by_type" -> Queries.q93Sql)
+    "q93_latest_by_type" -> Queries.q93Sql,
+    "q94_shard_checksums" -> Queries.q94Sql)
 }

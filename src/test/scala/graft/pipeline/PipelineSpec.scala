@@ -1022,6 +1022,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(("click", 9L, baseUs + 10L, 3L)))
   }
 
+  test("q94 shard checksums reconcile with the q72 whole-table digest") {
+    // the Merkle property: shard digests must recombine to the table
+    // digest (xor of xors, sums of counts/sums)
+    val shards = graft.Queries.q94ShardChecksums(spark, sf)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    val table = graft.Queries.q72TableChecksum(spark, sf)
+      .as[(String, Long, Long, Long)].collect
+      .find(_._1 == "documents").get
+    assert(shards.map(_._2).sum == table._2)
+    assert(shards.map(_._3).reduce(_ ^ _) == table._3)
+    assert(shards.map(_._4).sum == table._4)
+    assert(shards.size > 1) // localization is real, not one bucket
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
