@@ -4070,4 +4070,247 @@ object Queries {
       |    n_chars, md5(text))), 1, 15))::BIGINT % 1000000007)::BIGINT
       |    AS sum_fp
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** §2.10 part 10: stream-stream LEFT OUTER interval join — q52's
+    * attribution join with null emission for unmatched purchases
+    * (Streaming.clickAttributionOuter). An outer row can only emit once
+    * the WATERMARK proves no matching click can still arrive, so each
+    * side runs two deterministic micro-batches (maxFilesPerTrigger=1,
+    * mtime-ordered): the real events, then a far-future sentinel on EACH
+    * side (the global watermark is the min across sides — q70's trick,
+    * once per side) that pushes the watermark past every real p_ts and
+    * flushes the unmatched purchases. Sentinels use distinct
+    * never-matching users (-1/-2) and need no output filter — their own
+    * rows never emit (the watermark never passes the max event time
+    * itself, and right-side rows never emit from a left join); an output
+    * filter would in fact break the flush, because Catalyst pushes it
+    * below the watermark node into the scan and prunes the sentinels
+    * (the q70 lesson). All real rows are on time by construction,
+    * so the oracle is the same LEFT JOIN in plain batch SQL; the null
+    * click side is pinned to -1 on both engines (integer-exact rows). */
+  def q95StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = s.read.parquet(p(dir, "events"))
+    val t0 = ((System.currentTimeMillis() / 1000) - 300) * 1000
+    def stageSide(t: String, pre: String, sentinelUser: Long): String = {
+      val d = tempDirCleaned(s"graft-stream-oj-$pre-")
+      stageBatchFile(
+        ev.filter(col("event_type") === t)
+          .select(col("user_id").as(s"${pre}_user"),
+            col("event_id").as(s"${pre}_id"),
+            // session tz is UTC everywhere, so NTZ→TIMESTAMP is
+            // value-preserving (same cast as q52)
+            col("ts").cast("timestamp").as(s"${pre}_ts")),
+        d, "0-real.parquet", t0)
+      stageBatchFile(
+        ev.orderBy(col("ts").desc, col("event_id")).limit(1)
+          .select(lit(sentinelUser).as(s"${pre}_user"),
+            lit(99999999L).as(s"${pre}_id"),
+            (col("ts") + expr("INTERVAL 27375 DAYS"))
+              .cast("timestamp").as(s"${pre}_ts")),
+        d, "1-sentinel.parquet", t0 + 60000)
+      if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+        val f = new java.io.File(d.toFile, "1-sentinel.parquet")
+        System.err.println(s"Q95 SENT $pre exists=${f.exists} len=${f.length}" +
+          s" rows=${s.read.parquet(f.toString).count()}" +
+          s" mtime=${f.lastModified} t0=$t0 now=${System.currentTimeMillis}")
+      }
+      d.toString
+    }
+    val clicks = s.readStream
+      .schema("c_user BIGINT, c_id BIGINT, c_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageSide("click", "c", -1L))
+    val purchases = s.readStream
+      .schema("p_user BIGINT, p_id BIGINT, p_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageSide("purchase", "p", -2L))
+    val name = "q95_stream_outer_join_result"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val ckpt = tempDirCleaned("graft-stream-ckpt-").toString
+    // NO sentinel-excluding filter anywhere in the plan: Catalyst pushes
+    // deterministic predicates below the watermark node into the scan
+    // (and infers them onto the other join side via the equi-condition),
+    // which would prune the sentinel rows before they can drive event
+    // time — the q70 lesson. None is needed: the sentinels' own rows
+    // never emit (the watermark never passes the max event time, and
+    // right-side rows never emit from a left join).
+    val q = graft.streaming.Streaming.clickAttributionOuter(clicks, purchases)
+      .select(col("p_user").as("user_id"), col("p_id").as("purchase_id"),
+        coalesce(col("c_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")),
+          lit(-1L)).as("gap_us"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(pr => System.err.println(
+        s"Q95 BATCH ${pr.batchId} in=${pr.numInputRows} " +
+          s"wm=${pr.eventTime.get("watermark")} " +
+          s"out=${Option(pr.sink).map(_.numOutputRows).getOrElse(-1L)} " +
+          s"src=${pr.sources.map(s0 => s"${s0.startOffset}->${s0.endOffset}" +
+            s"/latest=${s0.latestOffset}").mkString(";")}"))
+    s.table(name).orderBy("purchase_id", "click_id")
+  }
+
+  val q95Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  coalesce(c.event_id, -1)::BIGINT AS click_id,
+      |  coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1)::BIGINT AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
+  /** Product-quantization code assignment — the compressed-vector half
+    * of an ANN index (IVF-PQ's PQ step): the 64-d embedding is split
+    * into 4 subvectors of 16 dims, each assigned to the nearest of 4
+    * md5-derived codebook centroids (the q28/q36 trick: both engines
+    * rebuild the identical codebook from md5 alone). The assignment runs
+    * in QUANTIZED INTEGER space — vectors quantized to thousandths
+    * (floor(x·1000+0.5), exact on both engines — q89's trick) and
+    * integer centroids in [-1000, 1000] — so distances, argmins, and
+    * tie-breaks (lowest code) are exact integer arithmetic with zero
+    * cross-engine float hazard; real PQ deployments quantize before
+    * encoding anyway (uint8 codes). Scale shape: the codebook is a
+    * 256-long plan literal (broadcast-sized at ANY corpus scale — a
+    * real 8-bit×16-subspace codebook is 1 MB), codes are computed
+    * map-side with NO shuffle and constant work per vector, and the
+    * only exchange is the final (subspace, code)-keyed aggregation of
+    * ≤ S·K rows. */
+  def q96PqCodes(s: SparkSession, dir: String): DataFrame = {
+    val S = 4; val K = 4; val D = 16
+    def centroid(sub: Int, c: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pq:$sub:$c:$j".getBytes("UTF-8"))
+      val hex = h.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    val subStructs = (0 until S).map { sub =>
+      val dists = (0 until K).map { c =>
+        val cent = (0 until D).map(j => centroid(sub, c, j)).mkString("L,") + "L"
+        s"aggregate(zip_with(slice(qx, ${sub * D + 1}, $D), array($cent), " +
+          "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+      }
+      val dArr = s"array(${dists.mkString(", ")})"
+      expr(s"named_struct('subspace', cast($sub as bigint), " +
+        s"'code', cast(array_position($dArr, array_min($dArr)) - 1 as bigint), " +
+        s"'dist', array_min($dArr))")
+    }
+    s.read.parquet(p(dir, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, " +
+        "x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))").as("qx"))
+      .select(explode(array(subStructs: _*)).as("sc"))
+      .groupBy(col("sc.subspace").as("subspace"), col("sc.code").as("code"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sc.dist")).as("sum_dist"))
+      .orderBy("subspace", "code")
+  }
+
+  val q96Sql: String =
+    """WITH q AS (SELECT vec_id,
+      |    [floor(x::DOUBLE * 1000 + 0.5)::BIGINT FOR x IN embedding] AS qx
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT s.s, c.c, j.j,
+      |    ('0x' || substr(md5('pq:' || s.s || ':' || c.c || ':' || j.j),
+      |      1, 15))::BIGINT % 2001 - 1000 AS v
+      |  FROM (SELECT unnest(range(4)) AS s) s,
+      |       (SELECT unnest(range(4)) AS c) c,
+      |       (SELECT unnest(range(16)) AS j) j),
+      |dists AS (
+      |  SELECT q.vec_id, g.s, g.c,
+      |    sum((q.qx[g.s * 16 + g.j + 1] - g.v)
+      |      * (q.qx[g.s * 16 + g.j + 1] - g.v))::BIGINT AS dist
+      |  FROM q, cent g GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, s, c AS code, dist,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+      |  FROM dists)
+      |SELECT s AS subspace, code, count(*)::BIGINT AS n_vecs,
+      |  sum(dist)::BIGINT AS sum_dist
+      |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** SCD Type-2 dimension versioning — the warehouse operator that turns
+    * a dimension update batch into versioned history rows instead of
+    * overwriting (Kimball's slowly-changing-dimension type 2): changed
+    * keys close their current version (is_current=false) and append a
+    * new one; unchanged keys pass through. The update batch is derived
+    * deterministically (every 7th custkey migrates segment) so both
+    * engines replay it. Scale shape: ONE equi-join on the dimension key
+    * (broadcast when the change batch is small — the common case: a
+    * day's dimension churn vs the full history) and a ≤2-row explode
+    * per key; no window, no sort until the output ORDER BY. */
+  def q97Scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val dim = s.read.parquet(p(dir, "customer"))
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val upd = dim.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select(col("c_custkey"), lit("MIGRATED").as("new_seg"))
+    dim.join(upd, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), explode(when(col("new_seg").isNull,
+          array(struct(col("c_mktsegment").as("seg"),
+            lit(1L).as("version"), lit(true).as("is_current"))))
+        .otherwise(array(
+          struct(col("c_mktsegment").as("seg"),
+            lit(1L).as("version"), lit(false).as("is_current")),
+          struct(col("new_seg").as("seg"),
+            lit(2L).as("version"), lit(true).as("is_current"))))).as("v"))
+      .select(col("c_custkey"), col("v.seg").as("c_mktsegment"),
+        col("v.version").as("version"), col("v.is_current").as("is_current"))
+      .orderBy("c_custkey", "version")
+  }
+
+  val q97Sql: String =
+    """WITH upd AS (SELECT c_custkey, 'MIGRATED' AS new_seg
+      |  FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT c.c_custkey, c.c_mktsegment, 1::BIGINT AS version,
+      |  (u.c_custkey IS NULL) AS is_current
+      |FROM customer c LEFT JOIN upd u USING (c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, new_seg AS c_mktsegment, 2::BIGINT AS version,
+      |  true AS is_current
+      |FROM upd
+      |ORDER BY c_custkey, version""".stripMargin
+
+  /** Context-length chunking — the sequence-packing step that slices
+    * documents into fixed-budget training chunks with overlap (chunk
+    * window 64 tokens, stride 48 ⇒ 16-token overlap, the RAG/pretraining
+    * chunking staple): chunk k of a doc covers tokens [48k, 48k+64) and
+    * a doc with n tokens yields ceil(n/48) chunks. All chunk math is
+    * exact integer arithmetic on the q9 token count, so the oracle
+    * replays it bit-identically. Scale shape: the chunk fan-out is a
+    * map-side explode linear in corpus tokens/stride — the TEXT never
+    * fans out, only (doc_id, k) pairs — followed by one source-keyed
+    * aggregation. */
+  def q98ChunkSplit(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("k",
+        explode(expr("sequence(cast(0 as bigint), (n + 47) div 48 - 1)")))
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(least(lit(64L), col("n") - col("k") * 48)).as("sum_chunk_tokens"),
+        sum(when(col("n") - col("k") * 48 >= 64, 1L).otherwise(0L))
+          .as("n_full_chunks"))
+      .orderBy("source")
+
+  val q98Sql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      x -> x <> ''))::BIGINT AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n, unnest(range((n + 47) // 48)) AS k
+      |  FROM d WHERE n > 0)
+      |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+      |  count(*)::BIGINT AS n_chunks,
+      |  sum(least(64, n - 48 * k))::BIGINT AS sum_chunk_tokens,
+      |  sum(CASE WHEN n - 48 * k >= 64 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_full_chunks
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
 }

@@ -186,7 +186,16 @@ object SparkEntry {
     // arg-max aggregation: latest event per type without a window sort
     "q93_latest_by_type" -> (Queries.q93LatestByType _),
     // sharded (Merkle-level) checksums: anti-entropy localization
-    "q94_shard_checksums" -> (Queries.q94ShardChecksums _))
+    "q94_shard_checksums" -> (Queries.q94ShardChecksums _),
+    // §2.10 part 10: left-outer stream-stream interval join (null
+    // emission certified by the watermark)
+    "q95_stream_outer_join" -> (Queries.q95StreamOuterJoin _),
+    // product-quantization code assignment (integer-exact codebook)
+    "q96_pq_codes" -> (Queries.q96PqCodes _),
+    // SCD Type-2 dimension versioning
+    "q97_scd2_dim" -> (Queries.q97Scd2Dim _),
+    // context-length chunking with overlap (sequence packing)
+    "q98_chunk_split" -> (Queries.q98ChunkSplit _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -288,5 +297,9 @@ object SparkEntry {
     "q91_activity_bitmask" -> Queries.q91Sql,
     "q92_data_profile" -> Queries.q92Sql,
     "q93_latest_by_type" -> Queries.q93Sql,
-    "q94_shard_checksums" -> Queries.q94Sql)
+    "q94_shard_checksums" -> Queries.q94Sql,
+    "q95_stream_outer_join" -> Queries.q95Sql,
+    "q96_pq_codes" -> Queries.q96Sql,
+    "q97_scd2_dim" -> Queries.q97Sql,
+    "q98_chunk_split" -> Queries.q98Sql)
 }

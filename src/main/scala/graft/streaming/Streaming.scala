@@ -175,6 +175,27 @@ object Streaming {
           col("c_ts") <= col("p_ts"))
 
   /**
+   * LEFT-OUTER stream-stream interval join (§2.10, part 10): the
+   * attribution join with null emission — purchases with NO click in
+   * the preceding hour still emit, with a null click side. Unlike the
+   * inner form, an outer row can only be emitted once the WATERMARK
+   * proves no matching click can still arrive (the condition's
+   * `c_ts <= p_ts` bound means a purchase's state is complete when the
+   * global watermark passes p_ts) — it is the watermark, not batch
+   * boundaries, that certifies the null, which keeps the semantics
+   * exact on an unbounded out-of-order stream while join state stays
+   * bounded exactly as in [[clickAttribution]].
+   */
+  def clickAttributionOuter(clicks: DataFrame,
+                            purchases: DataFrame): DataFrame =
+    purchases.withWatermark("p_ts", "2 hours")
+      .join(clicks.withWatermark("c_ts", "2 hours"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+
+  /**
    * Watermark-BOUNDED streaming dedup (§2.10, part 7):
    * `dropDuplicatesWithinWatermark` keys state by event_id but — unlike
    * `firstSeenUrls`' lifetime seen-set — EVICTS a key's state once the

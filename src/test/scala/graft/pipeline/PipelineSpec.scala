@@ -1036,6 +1036,84 @@ class PipelineSpec extends AnyFunSuite {
     assert(shards.size > 1) // localization is real, not one bucket
   }
 
+  test("q96 PQ codes: integer codebook assignment matches brute force") {
+    def centroid(sub: Int, c: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pq:$sub:$c:$j".getBytes("UTF-8"))
+      val hex = h.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect.toSeq
+    val brute = collection.mutable.Map[(Long, Long), (Long, Long)]()
+    for ((_, v) <- emb; sub <- 0 until 4) {
+      val q = v.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+      val dists = (0 until 4).map { c =>
+        (0 until 16).map { j =>
+          val d = q(sub * 16 + j) - centroid(sub, c, j); d * d
+        }.sum
+      }
+      val code = dists.zipWithIndex.minBy { case (d, cc) => (d, cc) }._2
+      val key = (sub.toLong, code.toLong)
+      val (n0, s0) = brute.getOrElse(key, (0L, 0L))
+      brute(key) = (n0 + 1, s0 + dists(code))
+    }
+    val got = graft.Queries.q96PqCodes(spark, sf)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    val exp = brute.toSeq.map { case ((s0, c), (n, d)) => (s0, c, n, d) }
+      .sortBy(t => (t._1, t._2))
+    assert(got == exp)
+    assert(got.map(_._3).sum == emb.size * 4L,
+      "every vector gets exactly one code per subspace")
+  }
+
+  test("q97 SCD2: changed keys close v1 and append current v2") {
+    val got = graft.Queries.q97Scd2Dim(spark, sf)
+      .as[(Long, String, Long, Boolean)].collect.toSeq
+    val base = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment").as[(Long, String)].collect.toSeq
+    val changed = base.filter(_._1 % 7 == 0)
+    assert(changed.nonEmpty)
+    assert(got.size == base.size + changed.size)
+    val byKey = got.groupBy(_._1)
+    for ((k, seg) <- changed) {
+      val vs = byKey(k).sortBy(_._3).map(v => (v._2, v._3, v._4))
+      assert(vs == Seq((seg, 1L, false), ("MIGRATED", 2L, true)))
+    }
+    for ((k, seg) <- base.filterNot(_._1 % 7 == 0).take(25))
+      assert(byKey(k).toSeq == Seq((k, seg, 1L, true)))
+    val current = got.filter(_._4)
+    assert(current.size == base.size &&
+      current.groupBy(_._1).forall(_._2.size == 1),
+      "exactly one current version per key")
+  }
+
+  test("q98 chunking: ceil(n/48) chunks, 64-token window, overlap math") {
+    // hand case: 100 tokens -> chunks at 0/48/96 with lengths 64, 52, 4
+    val dir = java.nio.file.Files.createTempDirectory("graft-q98-").toString
+    Seq((1L, "w", ("t " * 100).trim), (2L, "w", "a b c"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val hand = graft.Queries.q98ChunkSplit(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    assert(hand == Seq(("w", 2L, 4L, 64L + 52L + 4L + 3L, 1L)))
+
+    // corpus twin: recompute the aggregation from collected token counts
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[(String, Long)].collect.toSeq.filter(_._2 > 0)
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      val chunks = ds.flatMap { case (_, n) =>
+        (0L until ((n + 47) / 48)).map(k => math.min(64L, n - 48 * k)) }
+      (src, ds.size.toLong, chunks.size.toLong, chunks.sum,
+        chunks.count(_ == 64L).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.Queries.q98ChunkSplit(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    assert(got == exp)
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)

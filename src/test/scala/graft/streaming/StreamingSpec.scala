@@ -205,4 +205,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture window must produce attribution pairs")
     assert(got == batch)
   }
+
+  test("left-outer stream-stream join: watermark certifies null emission (q95 twin)") {
+    val got = graft.Queries.q95StreamOuterJoin(spark, sf)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"),
+        col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"),
+        col("ts").as("cts"))
+    val batch = p.join(c, col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") <= col("pts"), "left")
+      .select(col("pu"), col("pid"),
+        coalesce(col("cid"), lit(-1L)).as("cid"),
+        coalesce(unix_micros(col("pts")) - unix_micros(col("cts")),
+          lit(-1L)).as("gap"))
+      .orderBy("pid", "cid").as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got.exists(_._3 == -1L),
+      "unmatched purchases must emit with the null (pinned -1) click side")
+    assert(got.exists(_._3 >= 0L), "matched pairs must emit too")
+    assert(got == batch)
+  }
 }
