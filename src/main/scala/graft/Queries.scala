@@ -4313,4 +4313,144 @@ object Queries {
       |  sum(CASE WHEN n - 48 * k >= 64 THEN 1 ELSE 0 END)::BIGINT
       |    AS n_full_chunks
       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** Robust outlier detection — median/MAD (the distribution-free
+    * outlier rule a corpus QA pass uses where mean/stddev would be
+    * dragged by the very outliers it hunts): a doc is an outlier when
+    * |n_chars − median| > 3·MAD. Everything stays EXACT INTEGER across
+    * engines: medians of integers are exact halves, so 2·median and
+    * 4·MAD are integers (percentile ≡ quantile_cont, the q34 identity)
+    * and the outlier test becomes 2·dev2 > 3·mad4 with zero float
+    * comparisons. Scale shape: two slim per-group percentile passes +
+    * broadcast joins of the per-lang constants back onto the docs; the
+    * exact per-group percentile sorts each group — at 100 TB the
+    * documented swap is the q34 approx_percentile twin (rank-error
+    * bound), which keeps the same integer test. */
+  def q99MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(p(dir, "documents"))
+      .select(col("lang"), col("n_chars"))
+    val med = docs.groupBy("lang")
+      .agg(expr("cast(percentile(n_chars, 0.5) * 2 as bigint)").as("med2"))
+    val dev = docs.join(broadcast(med), Seq("lang"))
+      .withColumn("dev2", abs(col("n_chars") * 2 - col("med2")))
+    val mad = dev.groupBy("lang")
+      .agg(expr("cast(percentile(dev2, 0.5) * 2 as bigint)").as("mad4"))
+    dev.join(broadcast(mad), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med2")).as("med2"), max(col("mad4")).as("mad4"),
+        sum(when(col("dev2") * 2 > lit(3) * col("mad4"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("lang")
+  }
+
+  val q99Sql: String =
+    """WITH med AS (SELECT lang,
+      |    CAST(quantile_cont(n_chars, 0.5) * 2 AS BIGINT) AS med2
+      |  FROM documents GROUP BY 1),
+      |dev AS (SELECT d.lang, med2, abs(d.n_chars * 2 - med2) AS dev2
+      |  FROM documents d JOIN med USING (lang)),
+      |mad AS (SELECT lang,
+      |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      |  FROM dev GROUP BY 1)
+      |SELECT dev.lang, count(*)::BIGINT AS n_docs,
+      |  max(med2)::BIGINT AS med2, max(mad4)::BIGINT AS mad4,
+      |  sum(CASE WHEN dev2 * 2 > 3 * mad4 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_outliers
+      |FROM dev JOIN mad USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** BPE merge-candidate scan — the inner loop of byte-pair-encoding
+    * tokenizer TRAINING (Sennrich et al., ACL 2016): count every
+    * adjacent character pair inside every token and surface the top
+    * merge candidates (count desc, pair asc — a pinned total order, so
+    * the LIMIT is deterministic on both engines). Complements q78's
+    * word-level vocabulary: this is the subword half of the codebook.
+    * Scale shape: the pair fan-out is map-side and linear in corpus
+    * chars (TEXT never shuffles — only (pair) keys do), the pair
+    * vocabulary is bounded by alphabet² so the hash agg is map-side
+    * combined into a tiny key space, and the top-20 is a
+    * TakeOrderedAndProject, never a global sort. */
+  def q100BpePairs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(p(dir, "documents"))
+      .select(explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+
+  val q100Sql: String =
+    """WITH w AS (SELECT unnest(list_filter(
+      |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |pairs AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))])
+      |    AS pair
+      |  FROM w WHERE len(w) >= 2)
+      |SELECT pair, count(*)::BIGINT AS n_occurrences
+      |FROM pairs GROUP BY 1
+      |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
+
+  /** One rollback fixture per sf dir: events committed (v0), a bad
+    * correction batch merged on top (v1), then ROLLED BACK to v0 —
+    * q59's fixture replayed as the undo story. Separate from
+    * mergedEventsDir: rollback moves the `_latest` pointer, which would
+    * perturb q59/q65's shared state. */
+  private val rollbackBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def rollbackDir(s: SparkSession, dir: String): String =
+    rollbackBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-rollback-").toString
+      val tio = new graft.tableio.TableIO(out, s)
+      val snap0 = tio.commit(Map("src" -> "events"), Map("events" ->
+        s.read.parquet(p(dir, "events"))
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")))
+      tio.mergeTable(snap0, "events", mergeUpdates(s, dir), "event_id")
+      tio.rollback(0L)
+      out
+    })
+
+  /** Snapshot ROLLBACK (TableIO.rollback — Iceberg's
+    * rollback-to-snapshot): a bad correction merge (v1) is undone by an
+    * O(1) `_latest` pointer swap back to v0; no data moves, and the
+    * abandoned snapshot stays time-travel-readable until expiry. The
+    * query reads the post-rollback LATEST (proving the pointer moved —
+    * n_current must equal the ORIGINAL table, not the merge) next to a
+    * time-travel read of the abandoned v1. Oracle: original vs merged
+    * profiles in plain SQL; ResumeSpec gates the pointer mechanics
+    * (latest==v0, abandoned still readable, roll-forward refused). */
+  def q101SnapshotRollback(s: SparkSession, dir: String): DataFrame = {
+    val tio = new graft.tableio.TableIO(rollbackDir(s, dir), s)
+    val cur = tio.table(tio.latest.get, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n_current"))
+    val abandoned = tio.table(tio.read(1L), "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n_abandoned"))
+    cur.join(abandoned, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_current"), lit(0L)).as("n_current"),
+        coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"))
+      .orderBy("event_type")
+  }
+
+  val q101Sql: String =
+    """WITH updates AS (
+      |  SELECT event_id, 'corrected' AS event_type
+      |  FROM events WHERE event_id < 1000
+      |  UNION ALL
+      |  SELECT event_id + 1000000, 'backfill'
+      |  FROM events WHERE event_id % 100 = 0),
+      |merged AS (
+      |  SELECT event_type FROM events
+      |  WHERE event_id NOT IN (SELECT event_id FROM updates)
+      |  UNION ALL SELECT event_type FROM updates),
+      |c AS (SELECT event_type, count(*) AS n_current FROM events GROUP BY 1),
+      |a AS (SELECT event_type, count(*) AS n_abandoned FROM merged GROUP BY 1)
+      |SELECT coalesce(c.event_type, a.event_type) AS event_type,
+      |  coalesce(n_current, 0)::BIGINT AS n_current,
+      |  coalesce(n_abandoned, 0)::BIGINT AS n_abandoned
+      |FROM c FULL OUTER JOIN a ON c.event_type = a.event_type
+      |ORDER BY event_type""".stripMargin
 }

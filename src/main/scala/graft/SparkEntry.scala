@@ -195,7 +195,13 @@ object SparkEntry {
     // SCD Type-2 dimension versioning
     "q97_scd2_dim" -> (Queries.q97Scd2Dim _),
     // context-length chunking with overlap (sequence packing)
-    "q98_chunk_split" -> (Queries.q98ChunkSplit _))
+    "q98_chunk_split" -> (Queries.q98ChunkSplit _),
+    // robust median/MAD outlier detection (integer-exact)
+    "q99_mad_outliers" -> (Queries.q99MadOutliers _),
+    // BPE merge-candidate scan (adjacent char-pair counts)
+    "q100_bpe_pairs" -> (Queries.q100BpePairs _),
+    // snapshot rollback: bad merge undone by an O(1) pointer swap
+    "q101_snapshot_rollback" -> (Queries.q101SnapshotRollback _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -301,5 +307,8 @@ object SparkEntry {
     "q95_stream_outer_join" -> Queries.q95Sql,
     "q96_pq_codes" -> Queries.q96Sql,
     "q97_scd2_dim" -> Queries.q97Sql,
-    "q98_chunk_split" -> Queries.q98Sql)
+    "q98_chunk_split" -> Queries.q98Sql,
+    "q99_mad_outliers" -> Queries.q99Sql,
+    "q100_bpe_pairs" -> Queries.q100Sql,
+    "q101_snapshot_rollback" -> Queries.q101Sql)
 }

@@ -159,6 +159,25 @@ class TableIO(baseDir: String, spark: SparkSession) {
 
   def latest: Option[Snapshot] = latestId.map(read)
 
+  /** Roll the table back to an earlier snapshot (Iceberg's
+    * rollback-to-snapshot maintenance call): a pure `_latest` pointer
+    * swap — O(1) at any table size, no data moves. The abandoned newer
+    * snapshots stay on disk and remain time-travel-readable until
+    * `expire` reclaims them; the NEXT commit after a rollback branches
+    * from the restored snapshot and overwrites the abandoned version
+    * directories (history past the rollback point is forfeited, the
+    * documented Iceberg rollback contract). */
+  def rollback(id: Long): Snapshot = {
+    val cur = latestId.getOrElse(-1L)
+    require(id <= cur, s"cannot roll forward to v$id (latest is v$cur)")
+    val snap = read(id) // validates the target manifest exists
+    val ptrTmp = new Path(baseDir, "_latest.partial")
+    writeString(ptrTmp, id.toString)
+    fs.delete(latestPath, false)
+    require(fs.rename(ptrTmp, latestPath), "latest-pointer swap failed")
+    snap
+  }
+
   def read(id: Long): Snapshot = {
     val dir = new Path(baseDir, s"v$id")
     val in = fs.open(new Path(dir, "manifest.json"))

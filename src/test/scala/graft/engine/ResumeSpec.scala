@@ -554,4 +554,33 @@ class ResumeSpec extends AnyFunSuite {
     val sizes = (0L to last).map(v => io.read(v).tables("seen").rows)
     assert(sizes == sizes.sorted, s"seen rows should grow: $sizes")
   }
+
+  test("rollback: pointer swap restores v0, abandoned stays readable, roll-forward refused") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("rollback")
+    val io = new TableIO(dir, spark)
+    val df0 = spark.range(100).select(col("id"), lit("a").as("tag"))
+    io.commit(Map.empty, Map("t" -> df0))
+    io.commitWrites(Map.empty, Map("t" -> graft.tableio.TableWrite(
+      spark.range(100, 150).select(col("id"), lit("b").as("tag")),
+      io.latest.get.tables("t").files, io.latest.get.tables("t").rows)))
+    assert(io.latestId.contains(1L))
+    val back = io.rollback(0L)
+    assert(back.id == 0L && io.latestId.contains(0L))
+    // latest now reads the ORIGINAL table, not the appended one
+    assert(io.table(io.latest.get, "t").count() == 100L)
+    // the abandoned snapshot stays time-travel-readable until expiry
+    assert(io.table(io.read(1L), "t").count() == 150L)
+    // rolling forward is not a rollback
+    intercept[IllegalArgumentException](io.rollback(5L))
+    // the next commit branches from the restored snapshot (v1 reused)
+    io.commitWrites(Map.empty, Map("t" -> graft.tableio.TableWrite(
+      spark.range(200, 210).select(col("id"), lit("c").as("tag")),
+      io.latest.get.tables("t").files, io.latest.get.tables("t").rows)))
+    assert(io.latestId.contains(1L))
+    assert(io.table(io.latest.get, "t").count() == 110L)
+    assert(io.table(io.latest.get, "t")
+      .filter(col("tag") === "b").count() == 0L,
+      "post-rollback commit must not resurrect the abandoned rows")
+  }
 }

@@ -1114,6 +1114,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("q99 MAD outliers: integer rule matches a direct median/MAD recompute") {
+    // 2x the continuous median of integers is always an exact integer
+    def med2(xs: Seq[Long]): Long = {
+      val s0 = xs.sorted; val n = s0.size
+      if (n % 2 == 1) 2 * s0(n / 2) else s0(n / 2 - 1) + s0(n / 2)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "n_chars").as[(String, Long)].collect.toSeq
+    val exp = docs.groupBy(_._1).map { case (lang, ds) =>
+      val xs = ds.map(_._2)
+      val m2 = med2(xs)
+      val dev2 = xs.map(x => math.abs(2 * x - m2))
+      val m4 = med2(dev2) // dev2 already carries the x2 => this is 4*MAD
+      (lang, xs.size.toLong, m2, m4, dev2.count(d => 2 * d > 3 * m4).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.Queries.q99MadOutliers(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    assert(got == exp)
+    assert(got.forall(_._4 > 0), "degenerate zero-MAD groups would make " +
+      "every deviation an outlier; the fixture must not be degenerate")
+  }
+
+  test("q100 BPE pairs: hand-counted adjacent pairs, pinned tie order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q100-").toString
+    // "abab" -> ab, ba, ab; "ab" -> ab; "x" skipped (len 1); "ba" x2 -> ba
+    Seq((1L, "abab ab x"), (2L, "ba ba")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.Queries.q100BpePairs(spark, dir)
+      .as[(String, Long)].collect.toSeq
+    assert(got == Seq(("ab", 3L), ("ba", 3L))) // tie broken by pair asc
+  }
+
   test("q67 bigram LM: pruned model, occurrence-weighted hit mass") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q67-").toString
     // bigram counts: 'a b'=3 (kept), 'b a'=1, 'b c'=1, 'b x'=1 (pruned)
