@@ -4453,4 +4453,259 @@ object Queries {
       |  coalesce(n_abandoned, 0)::BIGINT AS n_abandoned
       |FROM c FULL OUTER JOIN a ON c.event_type = a.event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Merkle-DESCENT repair — the step q94 localizes for: given a replica
+    * that silently diverged (synthesized here as a deterministic 1-in-101
+    * md5-salted n_chars corruption, so both engines rebuild the identical
+    * divergence), descend the digest tree level by level and touch rows
+    * ONLY inside cells whose digests differ. Level 1 compares 16 shard
+    * digests; the differing shards (broadcast — a handful of ids) gate a
+    * level-2 pass over 256 sub-shards; the differing sub-shards gate the
+    * final row-level diff. Each level re-scans 1/16 of the previous
+    * level's span, so repair cost is O(diverged slice · log₁₆(cells)),
+    * never O(table) — the Cassandra/Dynamo anti-entropy recursion as
+    * three restricted scans. All fingerprints are the q72 md5-derived
+    * 60-bit rows, so every digest and the final corrupt count replay
+    * bit-identically in ANSI SQL. */
+  private[graft] def merkleRepair(docs: DataFrame): DataFrame = {
+    def fp(nchars: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("|", col("doc_id"), col("lang"),
+        col("source"), nchars, md5(col("text")))), 1, 15), 16, 10)
+        .cast("long")
+    val rows = docs
+      .withColumn("corrupt",
+        when(conv(substring(md5(concat(lit("x"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 101 === 0, 1L).otherwise(0L))
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 256).as("sub"),
+        fp(col("n_chars")).as("fp_a"),
+        fp(col("n_chars") + col("corrupt")).as("fp_b"))
+      .withColumn("shard", col("sub") % 16)
+    val bad1 = rows.groupBy("shard")
+      .agg(expr("bit_xor(fp_a)").as("xa"), expr("bit_xor(fp_b)").as("xb"))
+      .filter(col("xa") =!= col("xb")).select("shard")
+    val bad2 = rows.join(broadcast(bad1), Seq("shard"))
+      .groupBy("shard", "sub")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(fp_a)").as("xa"), expr("bit_xor(fp_b)").as("xb"))
+      .filter(col("xa") =!= col("xb"))
+      .select(col("shard"), col("sub"), col("n_rows"))
+    rows.join(broadcast(bad2.select("sub")), Seq("sub"))
+      .groupBy("sub")
+      .agg(sum(when(col("fp_a") =!= col("fp_b"), 1L).otherwise(0L))
+        .as("n_corrupt"))
+      .join(bad2, Seq("sub"))
+      .select(col("shard"), col("sub").as("subshard"), col("n_rows"),
+        col("n_corrupt"))
+      .orderBy("shard", "subshard")
+  }
+
+  def q102MerkleRepair(s: SparkSession, dir: String): DataFrame =
+    merkleRepair(s.read.parquet(p(dir, "documents"))
+      .select("doc_id", "lang", "source", "n_chars", "text"))
+
+  val q102Sql: String =
+    """WITH r AS (
+      |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 256
+      |      AS sub,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+      |      AS shard,
+      |    ('0x' || substr(md5(concat_ws('|', doc_id, lang, source, n_chars,
+      |      md5(text))), 1, 15))::BIGINT AS fp_a,
+      |    ('0x' || substr(md5(concat_ws('|', doc_id, lang, source,
+      |      n_chars + CASE WHEN ('0x' || substr(md5('x' || doc_id::VARCHAR),
+      |        1, 8))::BIGINT % 101 = 0 THEN 1 ELSE 0 END,
+      |      md5(text))), 1, 15))::BIGINT AS fp_b
+      |  FROM documents),
+      |bad1 AS (SELECT shard FROM r GROUP BY shard
+      |  HAVING bit_xor(fp_a) <> bit_xor(fp_b)),
+      |bad2 AS (SELECT shard, sub, count(*)::BIGINT AS n_rows
+      |  FROM r WHERE shard IN (SELECT shard FROM bad1)
+      |  GROUP BY shard, sub
+      |  HAVING bit_xor(fp_a) <> bit_xor(fp_b))
+      |SELECT b.shard, b.sub AS subshard, b.n_rows,
+      |  sum(CASE WHEN r.fp_a <> r.fp_b THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_corrupt
+      |FROM r JOIN bad2 b USING (sub)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic in EXACT INTEGER
+    * space — the distribution-shift alarm a corpus pipeline runs between
+    * snapshots/sources before retraining: each language's doc-length
+    * CDF against the 'en' reference. The KS sup runs over the merged
+    * support (CDFs are step functions, so the sup is attained at a jump
+    * point), and the statistic is kept rational: d_num =
+    * max |cum_l·n_ref − cum_r·n_lang| (the D statistic times n_l·n_r —
+    * monotone in D, integer-exact where the usual float CDF difference
+    * can never be hash-oracled), reported with d_ppm = d_num·10⁶ div
+    * (n_l·n_r). Scale shape: the corpus collapses to per-(lang, value)
+    * HISTOGRAMS first (one hash agg; for continuous features, pre-bin),
+    * the reference histogram broadcasts, and the window/join run on
+    * aggregated rows only — the statistic costs O(support), not
+    * O(corpus), after the first pass. At 10^10-row counts the products
+    * move to DECIMAL(38,0). */
+  private[graft] def ksDrift(docs: DataFrame, refLang: String): DataFrame = {
+    val hist = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+    val ref = hist.filter(col("lang") === refLang)
+      .select(col("n_chars"), col("cnt").as("rcnt"))
+    val langs = hist.filter(col("lang") =!= refLang)
+    val refRep = langs.select("lang").distinct().crossJoin(broadcast(ref))
+    val merged = langs
+      .select(col("lang"), col("n_chars"), col("cnt").as("lcnt"))
+      .join(refRep, Seq("lang", "n_chars"), "full_outer")
+      .na.fill(0L, Seq("lcnt", "rcnt"))
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+    val tot = merged.groupBy("lang")
+      .agg(sum("lcnt").as("n_lang"), sum("rcnt").as("n_ref"))
+    merged
+      .withColumn("cum_l", sum("lcnt").over(w))
+      .withColumn("cum_r", sum("rcnt").over(w))
+      .join(broadcast(tot), Seq("lang"))
+      .groupBy("lang")
+      .agg(max("n_lang").as("n_lang"), max("n_ref").as("n_ref"),
+        max(abs(col("cum_l") * col("n_ref") - col("cum_r") * col("n_lang")))
+          .as("d_num"))
+      .select(col("lang"), col("n_lang"), col("n_ref"), col("d_num"),
+        expr("d_num * 1000000L div (n_lang * n_ref)").as("d_ppm"))
+      .orderBy("lang")
+  }
+
+  def q103KsDrift(s: SparkSession, dir: String): DataFrame =
+    ksDrift(s.read.parquet(p(dir, "documents")).select("lang", "n_chars"),
+      "en")
+
+  val q103Sql: String =
+    """WITH h AS (SELECT lang, n_chars, count(*)::BIGINT AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |ref AS (SELECT n_chars, cnt AS rcnt FROM h WHERE lang = 'en'),
+      |rr AS (SELECT ls.lang, ref.n_chars, ref.rcnt
+      |  FROM (SELECT DISTINCT lang FROM h WHERE lang <> 'en') ls, ref),
+      |merged AS (
+      |  SELECT coalesce(l.lang, rr.lang) AS lang,
+      |    coalesce(l.n_chars, rr.n_chars) AS n_chars,
+      |    coalesce(l.cnt, 0)::BIGINT AS lcnt,
+      |    coalesce(rr.rcnt, 0)::BIGINT AS rcnt
+      |  FROM (SELECT lang, n_chars, cnt FROM h WHERE lang <> 'en') l
+      |  FULL OUTER JOIN rr
+      |    ON l.lang = rr.lang AND l.n_chars = rr.n_chars),
+      |c AS (SELECT lang, n_chars,
+      |    sum(lcnt) OVER (PARTITION BY lang ORDER BY n_chars)::BIGINT
+      |      AS cum_l,
+      |    sum(rcnt) OVER (PARTITION BY lang ORDER BY n_chars)::BIGINT
+      |      AS cum_r
+      |  FROM merged),
+      |t AS (SELECT lang, sum(lcnt)::BIGINT AS n_lang,
+      |    sum(rcnt)::BIGINT AS n_ref
+      |  FROM merged GROUP BY 1),
+      |d AS (SELECT c.lang, max(n_lang)::BIGINT AS n_lang,
+      |    max(n_ref)::BIGINT AS n_ref,
+      |    max(abs(cum_l * n_ref - cum_r * n_lang))::BIGINT AS d_num
+      |  FROM c JOIN t USING (lang) GROUP BY 1)
+      |SELECT lang, n_lang, n_ref, d_num,
+      |  (d_num * 1000000) // (n_lang * n_ref) AS d_ppm
+      |FROM d ORDER BY lang""".stripMargin
+
+  /** MULTI-PASS blocked fuzzy matching — the recall path q64 documents:
+    * a single blocking pass can never see a pair whose edit falls inside
+    * the block key itself, so entity-resolution practice runs several
+    * passes on DISJOINT keys and unions the candidates (Fellegi–Sunter
+    * blocking; for ≤1 edit inside the first 8 chars the pigeonhole is
+    * exact — one of the two disjoint 4-char blocks must be untouched).
+    * Pass 1 blocks on chars 1–4 of the lowercased 24-char prefix (q64's
+    * key), pass 2 on chars 5–8; candidates union + dedup, then the same
+    * codegen'd `levenshtein ≤ 3` exact verify. Scale shape: k passes =
+    * k equi-join shuffles (never a cartesian — the q64 plan gate covers
+    * the join shape), candidate dedup is one distinct on slim id pairs,
+    * and each pass inherits q64's hot-block capping story. */
+  def q104MultiBlock(s: SparkSession, dir: String): DataFrame = {
+    val k = s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("key"))
+    def pass(start: Int) = {
+      val kk = (if (start > 1) k.filter(length(col("key")) >= start + 3)
+                else k)
+        .withColumn("blk", substring(col("key"), start, 4))
+      val a = kk.select(col("blk"), col("doc_id").as("a_id"),
+        col("key").as("a_key"))
+      val b = kk.select(col("blk"), col("doc_id").as("b_id"),
+        col("key").as("b_key"))
+      a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_key", "b_key")
+    }
+    pass(1).union(pass(5)).distinct()
+      .filter(levenshtein(col("a_key"), col("b_key")) <= 3)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_key"), col("b_key")).cast("long").as("edit_dist"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val q104Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, lower(substr(text, 1, 24)) AS key FROM documents),
+      |cand AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.key AS a_key, b.key AS b_key
+      |  FROM k a JOIN k b ON substr(a.key, 1, 4) = substr(b.key, 1, 4)
+      |    AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id, a.key, b.key
+      |  FROM k a JOIN k b ON substr(a.key, 5, 4) = substr(b.key, 5, 4)
+      |    AND a.doc_id < b.doc_id
+      |    AND len(a.key) >= 8 AND len(b.key) >= 8)
+      |SELECT a_id, b_id, levenshtein(a_key, b_key)::BIGINT AS edit_dist
+      |FROM cand WHERE levenshtein(a_key, b_key) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** One compaction fixture per sf dir: a "big" file committed first
+    * (must be carried verbatim), a 12-file small-delta tail appended on
+    * top (the streaming-sink / per-wave-commit debris shape), then
+    * `rewriteSmallFiles` bin-packs the tail. */
+  private val compactBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactDir(s: SparkSession, dir: String): String =
+    compactBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-compact-").toString
+      val tio = new graft.tableio.TableIO(out, s)
+      val ev = s.read.parquet(p(dir, "events"))
+      val snap0 = tio.commit(Map("src" -> "events"), Map("events" ->
+        ev.filter(pmod(col("event_id"), lit(4)) === 0).coalesce(1)))
+      val tl0 = snap0.tables("events")
+      val snap1 = tio.commitWrites(Map("delta" -> "small-files"),
+        Map("events" -> graft.tableio.TableWrite(
+          ev.filter(pmod(col("event_id"), lit(4)) =!= 0)
+            .repartition(12, pmod(col("event_id"), lit(12))),
+          tl0.files, tl0.rows)))
+      val n = graft.tableio.ParquetStats.rowCount(s, p(dir, "events"))
+      tio.rewriteSmallFiles(snap1, "events", targetRows = math.max(1L, n / 5))
+      out
+    })
+
+  /** Small-file COMPACTION (TableIO.rewriteSmallFiles — Iceberg's
+    * rewrite_data_files binpack maintenance) on the driver surface: the
+    * long small-file tail a streaming sink / per-wave delta commit
+    * leaves behind is bin-packed into target-sized files while files
+    * already big enough are carried VERBATIM (never read or copied).
+    * The query reads the post-compaction table and profiles it with a
+    * content-pinning aggregate (sum of ids catches any row lost or
+    * duplicated in the rewrite), so the oracle checks the whole
+    * write→compact→read round trip; ResumeSpec gates the file-level
+    * contract (file count drops to the bin count, the big file's
+    * manifest entry survives byte-identical, content multiset equal,
+    * lineage rows preserved). */
+  def q105CompactFiles(s: SparkSession, dir: String): DataFrame = {
+    val tio = new graft.tableio.TableIO(compactDir(s, dir), s)
+    tio.table(tio.latest.get, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("event_id").as("sum_ids"))
+      .orderBy("event_type")
+  }
+
+  val q105Sql: String =
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  sum(event_id)::BIGINT AS sum_ids
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -201,7 +201,16 @@ object SparkEntry {
     // BPE merge-candidate scan (adjacent char-pair counts)
     "q100_bpe_pairs" -> (Queries.q100BpePairs _),
     // snapshot rollback: bad merge undone by an O(1) pointer swap
-    "q101_snapshot_rollback" -> (Queries.q101SnapshotRollback _))
+    "q101_snapshot_rollback" -> (Queries.q101SnapshotRollback _),
+    // Merkle-descent repair: digest tree walked level by level, rows
+    // touched only inside differing cells
+    "q102_merkle_repair" -> (Queries.q102MerkleRepair _),
+    // two-sample KS drift statistic, exact-integer rational form
+    "q103_ks_drift" -> (Queries.q103KsDrift _),
+    // multi-pass blocked fuzzy matching (q64's documented recall path)
+    "q104_multi_block" -> (Queries.q104MultiBlock _),
+    // small-file bin-packing compaction (rewrite_data_files)
+    "q105_compact_files" -> (Queries.q105CompactFiles _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -310,5 +319,9 @@ object SparkEntry {
     "q98_chunk_split" -> Queries.q98Sql,
     "q99_mad_outliers" -> Queries.q99Sql,
     "q100_bpe_pairs" -> Queries.q100Sql,
-    "q101_snapshot_rollback" -> Queries.q101Sql)
+    "q101_snapshot_rollback" -> Queries.q101Sql,
+    "q102_merkle_repair" -> Queries.q102Sql,
+    "q103_ks_drift" -> Queries.q103Sql,
+    "q104_multi_block" -> Queries.q104Sql,
+    "q105_compact_files" -> Queries.q105Sql)
 }

@@ -34,10 +34,16 @@ final case class Snapshot(id: Long, meta: Map[String, String],
   * that snapshot) is written, and the new manifest references old + new
   * files — per-wave commit cost is then O(wave), not O(crawl so far)
   * (round-4: the full rewrite was O(waves × total) write amplification,
-  * exactly what Iceberg manifests exist to avoid). */
+  * exactly what Iceberg manifests exist to avoid). `extraDfs` are written
+  * as SEPARATE append jobs into the same table dir — callers that need
+  * file-boundary control (compaction bins) pass one df per desired file,
+  * since a plain union cannot pin boundaries: Spark 4's UnionExec merges
+  * children partition-wise when their partitionings compare equal, so a
+  * union of coalesce(1) bins collapses back into ONE partition. */
 final case class TableWrite(df: DataFrame,
                             prevFiles: Seq[FileLineage] = Nil,
-                            prevRows: Long = 0L)
+                            prevRows: Long = 0L,
+                            extraDfs: Seq[DataFrame] = Nil)
 
 class TableIO(baseDir: String, spark: SparkSession) {
 
@@ -100,6 +106,7 @@ class TableIO(baseDir: String, spark: SparkSession) {
       Future {
         val p = new Path(tmp, name)
         w.df.write.mode("overwrite").parquet(p.toString)
+        w.extraDfs.foreach(_.write.mode("append").parquet(p.toString))
         val written = fs.listStatus(p).toSeq
           .filter(s => s.getPath.getName.startsWith("part-"))
           .map(s => (s.getPath, s.getLen, footerRows(s.getPath)))
@@ -385,6 +392,60 @@ class TableIO(baseDir: String, spark: SparkSession) {
     require(cur.tables.contains(dt), s"no pending deletes for $name")
     val keys = table(cur, dt).select(col(keyCol)).distinct()
     deleteKeys(cur.copy(tables = cur.tables - dt), name, keys, keyCol, meta)
+  }
+
+  /** Maintenance: BIN-PACK small data files into target-sized files
+    * (Iceberg's `rewrite_data_files` binpack strategy). Streaming sinks
+    * and per-wave delta commits leave a long tail of tiny files, and at
+    * scale the FILE COUNT — per-file open/footer cost, manifest size,
+    * task-launch overhead — becomes the scan bottleneck before the byte
+    * count does. Files already at or above `targetRows` are CARRIED
+    * VERBATIM (never read, never copied — the CoW discipline); smaller
+    * files are packed greedily, in deterministic manifest order, into
+    * bins of up to `targetRows` rows, and every multi-file bin is
+    * rewritten as exactly ONE file: each bin is its own coalesced write
+    * job (Iceberg likewise rewrites each file group as its own task —
+    * and a single union write canNOT pin the boundaries, see TableWrite's
+    * extraDfs note). A single-file bin is
+    * carried, not rewritten (no gain). Content is untouched — a pure
+    * layout commit; like any compaction it restarts incremental
+    * consumers (`addedTable`'s documented contract). */
+  def rewriteSmallFiles(cur: Snapshot, name: String, targetRows: Long,
+                        meta: Map[String, String] = Map.empty): Snapshot = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val stats = cur.tables(name).files.map { f =>
+      (f, footerRows(new Path(baseDir, f.name)))
+    }
+    val (big, small) = stats.partition(_._2 >= targetRows)
+    val bins = collection.mutable.ArrayBuffer[Vector[(FileLineage, Long)]]()
+    var bin = Vector.empty[(FileLineage, Long)]
+    var binRows = 0L
+    small.foreach { case fr @ (_, r) =>
+      if (bin.nonEmpty && binRows + r > targetRows) {
+        bins += bin; bin = Vector(fr); binRows = r
+      } else { bin :+= fr; binRows += r }
+    }
+    if (bin.nonEmpty) bins += bin
+    val (rewriteBins, carryBins) = bins.toVector.partition(_.size >= 2)
+    val carried = big ++ carryBins.flatten
+    val packed = rewriteBins.map { b =>
+      spark.read.parquet(b.map { case (f, _) =>
+        new Path(baseDir, f.name).toString }: _*).coalesce(1)
+    }
+    val df =
+      if (packed.isEmpty) table(cur, name).limit(0) else packed.head
+    val extra = if (packed.isEmpty) Nil else packed.tail
+    val others = (cur.tables - name).map { case (n, tl) =>
+      n -> TableWrite(table(cur, n).limit(0), tl.files, tl.rows)
+    }
+    commitWrites(
+      meta ++ Map(
+        "compact.table" -> name,
+        "compact.rewritten_files" -> rewriteBins.map(_.size).sum.toString,
+        "compact.new_files" -> rewriteBins.size.toString,
+        "compact.carried_files" -> carried.size.toString),
+      others ++ Map(name -> TableWrite(df, carried.map(_._1),
+        carried.map(_._2).sum, extra)))
   }
 
   /** Read a table with ADD-COLUMN schema evolution reconciled at read

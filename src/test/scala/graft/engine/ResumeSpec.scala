@@ -414,6 +414,49 @@ class ResumeSpec extends AnyFunSuite {
     assert(s1.tables("t").rows == 3700)
   }
 
+  test("small-file compaction: bins pack to target, big file carried verbatim") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpDir("compact")
+    val io = new TableIO(dir, spark)
+    // v0: one big file (>= target, must never be read or copied)
+    val s0 = io.commit(Map("t" -> "base"), Map("t" ->
+      spark.range(0, 2000)
+        .select(col("id").as("k"), lit("big").as("tag")).coalesce(1)))
+    // v1..v9: nine 100-row delta files — the streaming-sink tail shape
+    var cur = s0
+    for (i <- 0 until 9) {
+      val tl = cur.tables("t")
+      cur = io.commitWrites(Map.empty, Map("t" -> graft.tableio.TableWrite(
+        spark.range(2000 + i * 100, 2100 + i * 100)
+          .select(col("id").as("k"), lit("small").as("tag")).coalesce(1),
+        tl.files, tl.rows)))
+    }
+    assert(cur.tables("t").files.size == 10)
+    val s2 = io.rewriteSmallFiles(cur, "t", targetRows = 300)
+    val f2 = s2.tables("t").files
+    // nine 100-row files pack into bins of <= 300 -> 3 bins of 3
+    assert(s2.meta("compact.rewritten_files").toInt == 9)
+    assert(s2.meta("compact.new_files").toInt == 3)
+    assert(f2.size == 4) // big + 3 packed
+    // the big file's manifest entry survives byte-identical
+    val bigEntry = s0.tables("t").files.head
+    assert(f2.exists(f => f.name == bigEntry.name && f.bytes == bigEntry.bytes))
+    // every packed file respects the row bound
+    f2.filterNot(_.name == bigEntry.name).foreach { f =>
+      assert(spark.read.parquet(s"$dir/${f.name}").count() <= 300)
+    }
+    // content multiset unchanged, lineage row stat preserved
+    val before = io.table(cur, "t")
+    val after = io.table(s2, "t")
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    assert(s2.tables("t").rows == 2900)
+    // idempotence: everything is now >= target, a second pass is a no-op
+    val s3 = io.rewriteSmallFiles(s2, "t", targetRows = 300)
+    assert(s3.meta("compact.new_files").toInt == 0)
+    assert(s3.tables("t").files.map(f => (f.name, f.bytes)).toSet ==
+      f2.map(f => (f.name, f.bytes)).toSet)
+  }
+
   test("schema evolution: appended column reconciles at read, old rows null") {
     import org.apache.spark.sql.functions.{col, lit}
     val io = new TableIO(tmpDir("evolve"), spark)

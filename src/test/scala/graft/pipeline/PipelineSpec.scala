@@ -1157,4 +1157,58 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect.toSeq
     assert(got == Seq((1L, 4L, 2L, 6L), (2L, 2L, 1L, 3L)))
   }
+
+  test("q102 merkle descent: located cells hold exactly the corrupted rows") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = (1L to 400L).map(i =>
+      (i, "en", s"src${i % 7}", 10L + i % 50, s"text $i"))
+    val got = graft.Queries.merkleRepair(
+      docs.toDF("doc_id", "lang", "source", "n_chars", "text"))
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    // brute force: the corruption predicate locates rows directly
+    val corrupted = docs.filter { case (id, _, _, _, _) =>
+      java.lang.Long.parseLong(md5hex("x" + id).substring(0, 8),
+        16) % 101 == 0
+    }
+    assert(corrupted.nonEmpty)
+    val byCell = corrupted.groupBy { case (id, _, _, _, _) =>
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) % 256
+    }
+    assert(got.map(_._2).toSet == byCell.keySet)
+    assert(got.map(g => g._2 -> g._4).toMap ==
+      byCell.map { case (k, v) => k -> v.size.toLong })
+    // the descent kept the digest-tree prefix: subshard refines shard
+    got.foreach(g => assert(g._1 == g._2 % 16))
+  }
+
+  test("q104 multi-pass blocking: pass 2 recovers an edit inside the pass-1 block") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q104-").toString
+    Seq((1L, "abcdefghijklmnop"), (2L, "aXcdefghijklmnop"),
+      (3L, "abcdefghZZZZZZZZ"), (4L, "zzzz"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val single = graft.Queries.q64FuzzyMatch(spark, dir)
+      .as[(Long, Long, Long)].collect.toSeq
+    val multi = graft.Queries.q104MultiBlock(spark, dir)
+      .as[(Long, Long, Long)].collect.toSeq
+    // (1,2): one edit at position 2 — invisible to pass 1 (block keys
+    // differ), caught by pass 2 on the disjoint chars 5-8; the pass-1
+    // candidates (1,3)/(2,3) fail the exact verify (edit 8 > 3); the
+    // short doc is excluded from pass 2 by the length guard
+    assert(single.isEmpty)
+    assert(multi == Seq((1L, 2L, 1L)))
+  }
+
+  test("q103 KS drift: hand-computed D on a two-sample step-CDF case") {
+    val df = (Seq(("xx", 1L), ("xx", 2L), ("xx", 2L), ("xx", 3L)) ++
+      Seq(("en", 1L), ("en", 1L), ("en", 2L), ("en", 4L)))
+      .toDF("lang", "n_chars")
+    val got = graft.Queries.ksDrift(df, "en")
+      .as[(String, Long, Long, Long, Long)].collect.toSeq
+    // merged support {1,2,3,4}: cum_xx = 1,3,4,4; cum_en = 2,3,3,4
+    // d_num = max |cum_l*4 - cum_r*4| = 4 (at v=1 and v=3)
+    // d_ppm = 4_000_000 div 16 = 250000 (D = 0.25 exactly)
+    assert(got == Seq(("xx", 4L, 4L, 4L, 250000L)))
+  }
 }
