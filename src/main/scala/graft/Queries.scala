@@ -4708,4 +4708,167 @@ object Queries {
       |  count(DISTINCT user_id)::BIGINT AS n_users,
       |  sum(event_id)::BIGINT AS sum_ids
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Batch ANN kNN JOIN — every query vector gets its top-3 corpus
+    * neighbors in one job (q16/q28 are single-probe top-k; retrieval and
+    * semantic-dedup pipelines need the JOIN form). Bucketing reuses the
+    * q28 md5-derived SRP planes (bits sized from the parquet footer so
+    * expected bucket occupancy stays O(1) as the corpus grows); ranking
+    * is MAX-INNER-PRODUCT over q89-quantized integer vectors, so the
+    * per-query argmax is EXACT-integer and the DuckDB oracle replays
+    * index, candidates, and ranking bit-identically (a float cosine
+    * argmax can tie-break differently across engines in ULPs). Scale
+    * shape: signatures are map-side expressions; the query batch
+    * broadcasts (flip to a bucket-keyed shuffle join past ~10^7
+    * queries); the rank window sees candidate pairs only, never the
+    * corpus. A query landing in a bucket with no corpus vector emits
+    * nothing — that IS the ANN-join semantic (multiprobe, q28's recall
+    * lever, widens it). */
+  def q106KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(p(dir, "embeddings"))
+    val n = graft.tableio.ParquetStats.rowCount(s, p(dir, "embeddings"))
+    val bits = math.max(6,
+      (math.log(n.toDouble + 1) / math.log(2)).ceil.toInt - 3)
+    val planes = Similarity.md5Planes(bits, 64, seed = 7L)
+    val b = Similarity.withPlaneBucket(emb, "embedding", planes)
+      .withColumn("qv",
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
+    val queries = b.filter(col("vec_id") % 50 === 0)
+      .select(col("bucket"), col("vec_id").as("query_id"), col("qv").as("qa"))
+    val corpus = b.filter(col("vec_id") % 50 =!= 0)
+      .select(col("bucket"), col("vec_id").as("neighbor_id"),
+        col("qv").as("qb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("dot_q"), asc("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .withColumn("dot_q",
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id", "dot_q", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  /** DuckDB rebuild: q28's plane/bucket CTEs verbatim, then the join +
+    * integer-MIPS rank in plain SQL. */
+  val q106Sql: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    [floor(x::DOUBLE * 1000)::BIGINT FOR x IN embedding] AS qv
+      |  FROM embeddings),
+      |knobs AS (
+      |  SELECT greatest(6, CAST(ceil(log2(count(*) + 1)) AS INT) - 3) AS bits
+      |  FROM emb),
+      |ij AS (SELECT i, j
+      |       FROM (SELECT unnest(range((SELECT bits FROM knobs))) AS i),
+      |            (SELECT unnest(range(64)) AS j)),
+      |planes AS (
+      |  SELECT i, list(('0x' || substr(md5('7:' || i || ':' || j), 1, 15))::BIGINT::DOUBLE
+      |                 / 576460752303423488.0 - 1.0 ORDER BY j) AS p
+      |  FROM ij GROUP BY i),
+      |buckets AS (
+      |  SELECT e.vec_id,
+      |    sum(CASE WHEN list_inner_product(e.v, pl.p) >= 0
+      |        THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT AS bucket
+      |  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id),
+      |q AS (SELECT b.bucket, b.vec_id AS query_id, e.qv AS qa
+      |  FROM buckets b JOIN emb e USING (vec_id) WHERE b.vec_id % 50 = 0),
+      |c AS (SELECT b.bucket, b.vec_id AS neighbor_id, e.qv AS qb
+      |  FROM buckets b JOIN emb e USING (vec_id) WHERE b.vec_id % 50 <> 0),
+      |r AS (SELECT q.query_id, c.neighbor_id,
+      |    list_inner_product(q.qa, c.qb)::BIGINT AS dot_q,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_inner_product(q.qa, c.qb) DESC, c.neighbor_id)
+      |      AS rn
+      |  FROM q JOIN c USING (bucket))
+      |SELECT query_id, neighbor_id, dot_q, rn::BIGINT AS rn
+      |FROM r WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+
+  /** SLIDING-window distinct — trailing-7-day active users per day, the
+    * rolling-reach metric a rolling distinct can't get from q91's
+    * per-user bitmaps or a plain window (count(DISTINCT) over a frame
+    * is unsupported and quadratic anyway). Shape: collapse to DISTINCT
+    * slim (user, day) pairs first (one shuffle — text/events never move
+    * again), then each pair fans out to the ≤7 trailing target days it
+    * serves (map-side, constant fan-out = window/granularity) and ONE
+    * day-keyed distinct agg finishes. Window widths where the fan-out
+    * stings (90d/1d) swap the exact distinct for mergeable HLL sketches
+    * per (day, bucket) — same plan, the q34-twin gate pattern covers
+    * the error bound. */
+  private[graft] def slidingDistinct(ev: DataFrame): DataFrame = {
+    val days = ev
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("d"))
+    val origin = days.agg(min("d").as("o"), max("d").as("mx"))
+    days.crossJoin(broadcast(origin))
+      .select(col("user_id"), (col("d") - col("o")).as("day"),
+        (col("mx") - col("o")).as("maxday"))
+      .distinct()
+      .select(col("user_id"), col("day"),
+        explode(expr("sequence(day, least(day + 6, maxday))")).as("tday"))
+      .groupBy("tday")
+      .agg(countDistinct("user_id").as("n_users_7d"),
+        countDistinct(when(col("day") === col("tday"), col("user_id")))
+          .as("n_users_1d"))
+      .select(col("tday").as("day"), col("n_users_7d"), col("n_users_1d"))
+      .orderBy("day")
+  }
+
+  def q107SlidingDistinct(s: SparkSession, dir: String): DataFrame =
+    slidingDistinct(s.read.parquet(p(dir, "events")).select("user_id", "ts"))
+
+  val q107Sql: String =
+    """WITH o AS (SELECT min(epoch_us(ts) // 86400000000) AS o,
+      |    max(epoch_us(ts) // 86400000000) AS mx FROM events),
+      |d AS (SELECT DISTINCT user_id,
+      |    (epoch_us(ts) // 86400000000 - o.o) AS day,
+      |    (o.mx - o.o) AS maxday
+      |  FROM events, o),
+      |f AS (SELECT user_id, day,
+      |    unnest(range(day, least(day + 6, maxday) + 1)) AS tday FROM d)
+      |SELECT tday AS day,
+      |  count(DISTINCT user_id)::BIGINT AS n_users_7d,
+      |  count(DISTINCT CASE WHEN day = tday THEN user_id END)::BIGINT
+      |    AS n_users_1d
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Johnson–Lindenstrauss RANDOM PROJECTION to 8 dims — the dense
+    * dimensionality-reduction step (q96's PQ is the codebook half;
+    * this is the dense sketch used for cheap pre-filtering and
+    * visualization). Signs are the md5 ±1 family over the q89-quantized
+    * integer vector, so the projection is map-side only (the sign
+    * matrix is a deterministic expression, not data — nothing
+    * broadcasts, nothing shuffles) and every output integer replays
+    * bit-identically in ANSI SQL. Rademacher ±1 entries satisfy the JL
+    * lemma like gaussians (Achlioptas 2001). */
+  def q108RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(p(dir, "embeddings"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
+    val cols = (0 until 8).map { i =>
+      expr(s"""aggregate(zip_with(qv, transform(sequence(0, size(qv) - 1),
+        j -> if(cast(conv(substring(md5(concat('rp:', '$i', ':',
+          cast(j as string))), 1, 8), 16, 10) as bigint) % 2 = 0, 1L, -1L)),
+        (x, y) -> x * y), 0L, (a, x) -> a + x)""").as(s"p$i")
+    }
+    emb.select((col("vec_id") +: cols): _*).orderBy("vec_id")
+  }
+
+  val q108Sql: String = {
+    val ps = (0 until 8)
+      .map(i => s"  max(CASE WHEN k = $i THEN d END)::BIGINT AS p$i")
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    [floor(x::DOUBLE * 1000)::BIGINT FOR x IN embedding] AS qv
+       |  FROM embeddings),
+       |sg AS (SELECT k, list(CASE WHEN ('0x' || substr(md5('rp:' || k || ':' || j), 1, 8))::BIGINT % 2 = 0
+       |    THEN 1 ELSE -1 END ORDER BY j) AS s
+       |  FROM (SELECT unnest(range(8)) AS k), (SELECT unnest(range(64)) AS j)
+       |  GROUP BY k),
+       |d AS (SELECT e.vec_id, sg.k,
+       |    list_inner_product(e.qv, sg.s)::BIGINT AS d
+       |  FROM e CROSS JOIN sg)
+       |SELECT vec_id,
+       |$ps
+       |FROM d GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 }

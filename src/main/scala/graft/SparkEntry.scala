@@ -210,7 +210,13 @@ object SparkEntry {
     // multi-pass blocked fuzzy matching (q64's documented recall path)
     "q104_multi_block" -> (Queries.q104MultiBlock _),
     // small-file bin-packing compaction (rewrite_data_files)
-    "q105_compact_files" -> (Queries.q105CompactFiles _))
+    "q105_compact_files" -> (Queries.q105CompactFiles _),
+    // batch ANN kNN join: LSH buckets + exact-integer MIPS rank
+    "q106_knn_join" -> (Queries.q106KnnJoin _),
+    // trailing-7-day sliding-window distinct users
+    "q107_sliding_distinct" -> (Queries.q107SlidingDistinct _),
+    // Johnson-Lindenstrauss ±1 random projection, map-side only
+    "q108_random_projection" -> (Queries.q108RandomProjection _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -323,5 +329,8 @@ object SparkEntry {
     "q102_merkle_repair" -> Queries.q102Sql,
     "q103_ks_drift" -> Queries.q103Sql,
     "q104_multi_block" -> Queries.q104Sql,
-    "q105_compact_files" -> Queries.q105Sql)
+    "q105_compact_files" -> Queries.q105Sql,
+    "q106_knn_join" -> Queries.q106Sql,
+    "q107_sliding_distinct" -> Queries.q107Sql,
+    "q108_random_projection" -> Queries.q108Sql)
 }

@@ -448,6 +448,52 @@ class TableIO(baseDir: String, spark: SparkSession) {
         carried.map(_._2).sum, extra)))
   }
 
+  /** Maintenance: delete files NO existing manifest references —
+    * Iceberg's `remove_orphan_files`, the missing half of `expire`
+    * (expire reclaims files whose manifests aged out; this reclaims
+    * debris that never made it INTO a manifest): crashed-commit temp
+    * dirs (`_tmp_v*`, `_latest.partial`) and stray data files inside
+    * version dirs. A file any live (time-travel-readable) manifest
+    * lists is never touched — compacted-away files stay until `expire`
+    * drops their manifests. `graceMs` skips entries modified within
+    * that window (Iceberg's `older_than` guard: a CONCURRENT committer's
+    * in-flight `_tmp_v` dir must not be swept — production passes hours;
+    * tests pass 0). Returns the number of deleted entries. */
+  def removeOrphans(graceMs: Long = 0L): Int = {
+    val last = latestId.getOrElse(return 0)
+    val referenced = (0L to last)
+      .filter(id => fs.exists(new Path(baseDir, s"v$id/manifest.json")))
+      .flatMap(id => read(id).tables.values.flatMap(_.files.map(_.name)))
+      .toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    fs.listStatus(new Path(baseDir)).foreach { st =>
+      val nm = st.getPath.getName
+      if ((nm.startsWith("_tmp_v") || nm == "_latest.partial") &&
+          st.getModificationTime <= cutoff) {
+        fs.delete(st.getPath, true)
+        deleted += 1
+      } else if (nm.matches("v\\d+") && st.isDirectory) {
+        fs.listStatus(st.getPath).filter(_.isDirectory).foreach { td =>
+          fs.listStatus(td.getPath).foreach { f =>
+            val fn = f.getPath.getName
+            val rel = s"$nm/${td.getPath.getName}/$fn"
+            // Hadoop-hidden entries (_SUCCESS markers, .crc) are write
+            // metadata, not data debris — never manifest-listed, never
+            // orphans
+            if (!fn.startsWith("_") && !fn.startsWith(".") &&
+                !referenced.contains(rel) &&
+                f.getModificationTime <= cutoff) {
+              fs.delete(f.getPath, false)
+              deleted += 1
+            }
+          }
+        }
+      }
+    }
+    deleted
+  }
+
   /** Read a table with ADD-COLUMN schema evolution reconciled at read
     * time (Iceberg's evolution model, restricted to the additive case
     * parquet name-based merging supports): files written before the

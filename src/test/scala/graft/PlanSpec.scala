@@ -479,6 +479,26 @@ class PlanSpec extends AnyFunSuite {
       s"exact verify must remain in the plan:\n$p")
   }
 
+  test("q106 knn join: query side broadcasts, no cartesian, window on pairs") {
+    val p = plan(Queries.q106KnnJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query batch must ride a broadcast, not a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed candidates only, never all-pairs:\n$p")
+  }
+
+  test("q108 random projection is map-side: no agg, no join, one sort exchange") {
+    val p = plan(Queries.q108RandomProjection(spark, sf))
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"the sign matrix is an expression — nothing aggregates or joins:\n$p")
+    // the only exchange is the output orderBy's range partitioning
+    val exchanges = "exchange [a-z]*partitioning".r
+      .findAllIn(p.toLowerCase).toList
+    assert(exchanges.forall(_.contains("range")) && exchanges.size <= 1,
+      s"projection must not shuffle:\n$p")
+  }
+
   test("q73/q75/q76 pair generation stays key-grouped: no cartesian anywhere") {
     // all three build quadratic candidates, but always WITHIN a key
     // group (doc_id / l_orderkey / shared prefix shingle) via an

@@ -457,6 +457,40 @@ class ResumeSpec extends AnyFunSuite {
       f2.map(f => (f.name, f.bytes)).toSet)
   }
 
+  test("orphan removal: sweeps unreferenced debris, never a manifest-listed file") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpDir("orphans")
+    val io = new TableIO(dir, spark)
+    val s0 = io.commit(Map.empty, Map("t" ->
+      spark.range(0, 500).select(col("id").as("k"), lit("a").as("tag"))))
+    val tl = s0.tables("t")
+    io.commitWrites(Map.empty, Map("t" -> graft.tableio.TableWrite(
+      spark.range(500, 700).select(col("id").as("k"), lit("b").as("tag")),
+      tl.files, tl.rows)))
+    assert(io.removeOrphans() == 0) // clean state is a no-op
+    // plant the three debris classes: crashed-commit tmp dir, stale
+    // pointer temp, stray data file inside a version dir
+    val fsDir = new java.io.File(dir)
+    val tmpV = new java.io.File(fsDir, "_tmp_v9/t"); tmpV.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(tmpV, "part-junk.parquet").toPath, "junk")
+    java.nio.file.Files.writeString(
+      new java.io.File(fsDir, "_latest.partial").toPath, "9")
+    java.nio.file.Files.writeString(
+      new java.io.File(fsDir, "v0/t/stray.parquet").toPath, "junk")
+    val before = io.table(io.latest.get, "t").collect().toSet
+    // a grace window protects a possibly-in-flight committer's debris
+    assert(io.removeOrphans(graceMs = 3600L * 1000) == 0)
+    assert(io.removeOrphans() == 3)
+    assert(!new java.io.File(fsDir, "_tmp_v9").exists())
+    assert(!new java.io.File(fsDir, "_latest.partial").exists())
+    assert(!new java.io.File(fsDir, "v0/t/stray.parquet").exists())
+    // every manifest-listed file survived; reads are unchanged
+    assert(io.table(io.latest.get, "t").collect().toSet == before)
+    assert(io.table(io.read(0L), "t").count() == 500) // time travel intact
+    assert(io.removeOrphans() == 0)
+  }
+
   test("schema evolution: appended column reconciles at read, old rows null") {
     import org.apache.spark.sql.functions.{col, lit}
     val io = new TableIO(tmpDir("evolve"), spark)

@@ -1200,6 +1200,84 @@ class PipelineSpec extends AnyFunSuite {
     assert(multi == Seq((1L, 2L, 1L)))
   }
 
+  test("q106 kNN join: matches brute-force MIPS within LSH buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q106-").toString
+    // ids 0 and 50 are the query side; corpus vectors are POSITIVE
+    // scalings of a query pattern (sign pattern — hence SRP bucket —
+    // provably shared, integer dots still distinct for ranking)
+    def pat(s: Long)(j: Int): Float = (((s * 37 + j * 11) % 200) - 100) / 100.0f
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq(0L -> (0 until 64).map(pat(1)), 50L -> (0 until 64).map(pat(2))) ++
+        (1L to 5L).map(i => i ->
+          (0 until 64).map(j => pat(1)(j) * (1.0f + i / 20.0f))) ++
+        (6L to 10L).map(i => i ->
+          (0 until 64).map(j => pat(2)(j) * (1.0f + i / 20.0f)))
+    val ids = vecs.map(_._1)
+    vecs.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.Queries.q106KnnJoin(spark, dir)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    // independent expectation: same md5 planes, float-sign bucket,
+    // integer-quantized dot, top-3 per query by (dot desc, id asc)
+    val bits = math.max(6,
+      (math.log(ids.size.toDouble + 1) / math.log(2)).ceil.toInt - 3)
+    val planes = Similarity.md5Planes(bits, 64, 7L)
+    def bucket(v: Seq[Float]): Long = (0 until bits).map { i =>
+      val d = planes(i).zip(v).map { case (p, x) => p * x.toDouble }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    def qv(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 1000).toLong)
+    val expected = vecs.filter(_._1 % 50 == 0).flatMap { case (qid, qvec) =>
+      vecs.filter(c => c._1 % 50 != 0 && bucket(c._2) == bucket(qvec))
+        .map { case (cid, cvec) =>
+          (qid, cid, qv(qvec).zip(qv(cvec)).map(t => t._1 * t._2).sum)
+        }
+        .sortBy { case (_, cid, d) => (-d, cid) }
+        .take(3).zipWithIndex
+        .map { case ((a, b, d), i) => (a, b, d, i + 1L) }
+    }.sortBy(r => (r._1, r._4))
+    assert(expected.nonEmpty && expected.exists(_._4 > 1))
+    assert(got == expected)
+  }
+
+  test("q107 sliding distinct: hand-computed trailing-7d reach") {
+    val ev = Seq(
+      (1L, "2026-01-01 00:00:00"), (2L, "2026-01-01 12:00:00"),
+      (1L, "2026-01-03 05:00:00"), (3L, "2026-01-10 01:00:00"))
+      .toDF("user_id", "ts")
+    val got = graft.Queries.slidingDistinct(ev)
+      .as[(Long, Long, Long)].collect.toSeq
+    // (u,day) pairs: (1,0) (2,0) (1,2) (3,9); pair (d) serves t in
+    // [d, min(d+6, 9)]; 7d = distinct users serving t, 1d = users with d==t
+    assert(got == Seq(
+      (0L, 2L, 2L), (1L, 2L, 0L), (2L, 2L, 1L), (3L, 2L, 0L),
+      (4L, 2L, 0L), (5L, 2L, 0L), (6L, 2L, 0L),
+      (7L, 1L, 0L), (8L, 1L, 0L), (9L, 1L, 1L)))
+  }
+
+  test("q108 random projection: constant vectors give signed plane sums") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q108-").toString
+    // qv all-ones (0.001 -> floor(1.0)=1) and all-minus-ones (-0.0005)
+    Seq((1L, Seq.fill(64)(0.001f)), (2L, Seq.fill(64)(-0.0005f)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.Queries.q108RandomProjection(spark, dir).collect()
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sums = (0 until 8).map { k =>
+      (0 until 64).map { j =>
+        if (java.lang.Long.parseLong(
+          md5hex(s"rp:$k:$j").substring(0, 8), 16) % 2 == 0) 1L else -1L
+      }.sum
+    }
+    (0 until 8).foreach { k =>
+      assert(got(0).getLong(k + 1) == sums(k))
+      assert(got(1).getLong(k + 1) == -sums(k))
+    }
+  }
+
   test("q103 KS drift: hand-computed D on a two-sample step-CDF case") {
     val df = (Seq(("xx", 1L), ("xx", 2L), ("xx", 2L), ("xx", 3L)) ++
       Seq(("en", 1L), ("en", 1L), ("en", 2L), ("en", 4L)))
