@@ -4853,6 +4853,120 @@ object Queries {
     emb.select((col("vec_id") +: cols): _*).orderBy("vec_id")
   }
 
+  /** One minhash-index fixture per sf dir: the base corpus
+    * (doc_id % 10 <> 0) indexed ONCE — bucket membership + signatures
+    * committed through TableIO (q109 then ingests deltas against it
+    * without ever rescanning the base). */
+  private val dedupIdxBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupIndexDir(s: SparkSession, dir: String): String =
+    dedupIdxBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-mhidx-").toString
+      val tio = new graft.tableio.TableIO(out, s)
+      val base = s.read.parquet(p(dir, "documents"))
+        .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+      val (buckets, sigs) = Dedup.minhashIndexTables(
+        base, "doc_id", "text", shingleN = 5, k = 120, bands = 24)
+      tio.commit(Map("index" -> "minhash"),
+        Map("mh_buckets" -> buckets, "mh_sigs" -> sigs))
+      out
+    })
+
+  /** INCREMENTAL near-dup ingest (`Dedup.minhashDeltaPairs`) — the
+    * O(delta) twin of q14's batch scan: a new batch (the % 10 == 0
+    * docs plus planted near-dup tails of indexed base docs) is deduped
+    * against a PERSISTED TableIO signature index without rescanning
+    * the corpus — delta signatures only, one (band, bucket) probe join,
+    * exact verify re-shingling just the collided base rows. Planting is
+    * restricted to base docs whose normalized text is >= 200 chars so
+    * every true pair sits above the banding's deterministic-recall
+    * region (the q14 argument); the oracle is the exact all-pairs twin
+    * restricted to pairs touching the delta. */
+  def q109IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(p(dir, "documents")).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val normLen =
+      length(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val planted = docs.filter(col("doc_id") % 100 === 1 && normLen >= 200)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(col("text"), lit(" planted near dup tail")).as("text"))
+    val delta = docs.filter(col("doc_id") % 10 === 0).unionByName(planted)
+    val tio = new graft.tableio.TableIO(dedupIndexDir(s, dir), s)
+    val snap = tio.latest.get
+    Dedup.minhashDeltaPairs(base, tio.table(snap, "mh_buckets"),
+      tio.table(snap, "mh_sigs"), delta, "doc_id", "text",
+      shingleN = 5, k = 120, bands = 24, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q109Sql: String =
+    """WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+      |d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, text || ' planted near dup tail'
+      |  FROM documents
+      |  WHERE doc_id % 100 = 1
+      |    AND length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) >= 200),
+      |docs AS (SELECT doc_id, text, 0 AS isd FROM b0
+      |  UNION ALL SELECT doc_id, text, 1 AS isd FROM d0),
+      |norm AS (SELECT doc_id, isd,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n FROM docs),
+      |sh AS (SELECT doc_id, isd,
+      |    list_distinct([substring(n, i, 5)
+      |      FOR i IN generate_series(1, greatest(length(n) - 4, 1))]) AS s
+      |  FROM norm WHERE length(n) > 0),
+      |pairs AS (
+      |  SELECT id_a, id_b, jaccard FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      len(list_intersect(a.s, b.s))::DOUBLE /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard,
+      |      a.isd + b.isd AS dsum
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.6 AND dsum >= 1)
+      |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** One bloom-layout fixture per sf dir: events rewritten as ONE file
+    * in md5-SCATTERED order (every row group's event_id envelope spans
+    * the whole domain — min/max skipping is provably useless) with
+    * small row groups and a parquet BLOOM FILTER on event_id. */
+  private val bloomBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def bloomFixtureDir(s: SparkSession, dir: String): String =
+    bloomDir(s, dir)
+  private def bloomDir(s: SparkSession, dir: String): String =
+    bloomBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-bloom-").toString
+      s.read.parquet(p(dir, "events"))
+        .repartition(1)
+        .sortWithinPartitions(md5(col("event_id").cast("string")))
+        .write
+        .option("parquet.bloom.filter.enabled#event_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#event_id", "1000000")
+        .option("parquet.block.size", (64 * 1024).toString)
+        .parquet(s"$out/events_bloom")
+      out
+    })
+
+  /** Parquet BLOOM-FILTER file skipping — the point-lookup data-skipping
+    * layer min/max envelopes cannot provide (q51/q55 prune RANGES; a
+    * point probe of an unsorted high-cardinality key hits every
+    * envelope): the events table is rewritten md5-scattered (row-group
+    * envelopes all span the full domain) with a bloom filter on
+    * event_id, and the probe reads only the row groups whose bloom
+    * admits the key. PipelineSpec gates the mechanism from the footers
+    * (bloom present in every group, every envelope spans the probe) and
+    * from the scan metric (rows read << table); the driver oracle pins
+    * the round-trip content. */
+  def q110BloomSkipping(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${bloomDir(s, dir)}/events_bloom")
+      .filter(col("event_id").isin(417L, 523L, 611L))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+
+  val q110Sql: String =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE event_id IN (417, 523, 611) ORDER BY event_id""".stripMargin
+
   val q108Sql: String = {
     val ps = (0 until 8)
       .map(i => s"  max(CASE WHEN k = $i THEN d END)::BIGINT AS p$i")

@@ -216,7 +216,11 @@ object SparkEntry {
     // trailing-7-day sliding-window distinct users
     "q107_sliding_distinct" -> (Queries.q107SlidingDistinct _),
     // Johnson-Lindenstrauss ±1 random projection, map-side only
-    "q108_random_projection" -> (Queries.q108RandomProjection _))
+    "q108_random_projection" -> (Queries.q108RandomProjection _),
+    // O(delta) incremental dedup against a persisted signature index
+    "q109_incremental_dedup" -> (Queries.q109IncrementalDedup _),
+    // parquet bloom-filter row-group skipping for point lookups
+    "q110_bloom_skipping" -> (Queries.q110BloomSkipping _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -332,5 +336,7 @@ object SparkEntry {
     "q105_compact_files" -> Queries.q105Sql,
     "q106_knn_join" -> Queries.q106Sql,
     "q107_sliding_distinct" -> Queries.q107Sql,
-    "q108_random_projection" -> Queries.q108Sql)
+    "q108_random_projection" -> Queries.q108Sql,
+    "q109_incremental_dedup" -> Queries.q109Sql,
+    "q110_bloom_skipping" -> Queries.q110Sql)
 }

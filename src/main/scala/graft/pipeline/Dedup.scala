@@ -87,6 +87,60 @@ object Dedup {
     }
   }
 
+  /** Per-doc signature rows (id, shingle set, k-long signature, band
+    * keys) — the shared front of the batch scan (minhashLshPairs), the
+    * persistable index build (minhashIndexTables), and the incremental
+    * ingest probe (minhashDeltaPairs). One typed mapPartitions kernel:
+    * shingle → signature → FNV-folded band keys. */
+  private def sigRows(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          val sh = shingleSet(t, shingleN)
+          if (sh.isEmpty) None
+          else {
+            val sig = minhashSig(sh, k)
+            val bandKeys = Array.tabulate(bands) { b =>
+              var h = 0xcbf29ce484222325L ^ b
+              var j = b * r
+              while (j < (b + 1) * r) { h = (h ^ sig(j)) * 0x100000001b3L; j += 1 }
+              h
+            }
+            Some((id, sh.toSeq, sig.toSeq, bandKeys.toSeq))
+          }
+        }
+      }.toDF("id", "sh", "sig", "bandkeys")
+  }
+
+  /** Exact-jaccard verify over candidate pairs carrying both shingle
+    * sets, as a one-pass hash-set JVM kernel (no intermediate
+    * intersection/union arrays — see minhashLshPairs). */
+  private def verifyPairs(cands: DataFrame, threshold: Double): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (a, b, sa, sb) =>
+          val (small, large) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
+          val set = new java.util.HashSet[String](small.length * 2)
+          small.foreach(set.add)
+          var inter = 0
+          large.foreach(s => if (set.contains(s)) inter += 1)
+          val uni = sa.length + sb.length - inter
+          val j = if (uni == 0) 0.0 else inter.toDouble / uni
+          if (j >= threshold) Some((a, b, j)) else None
+        }
+      }.toDF("id_a", "id_b", "jaccard")
+  }
+
   /** splitmix64 finalizer — cheap per-seed remix of one base hash. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -186,28 +240,9 @@ object Dedup {
       estEps: Double = 0.25, slimRejoinMinDocs: Long = 100000L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     kernelWarm()
-    val r = k / bands
     val spark = docs.sparkSession
     import spark.implicits._
-    val withSig = docs
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, t) =>
-          val sh = shingleSet(t, shingleN)
-          if (sh.isEmpty) None
-          else {
-            val sig = minhashSig(sh, k)
-            val bandKeys = Array.tabulate(bands) { b =>
-              var h = 0xcbf29ce484222325L ^ b
-              var j = b * r
-              while (j < (b + 1) * r) { h = (h ^ sig(j)) * 0x100000001b3L; j += 1 }
-              h
-            }
-            Some((id, sh.toSeq, sig.toSeq, bandKeys.toSeq))
-          }
-        }
-      }.toDF("id", "sh", "sig", "bandkeys")
+    val withSig = sigRows(docs, idCol, textCol, shingleN, k, bands)
     // EAGER materialization: five consumers (two bucket-join sides, two
     // signature rejoins, two shingle rejoins) would otherwise race the
     // cold cache and each evaluate the signature kernel concurrently —
@@ -265,24 +300,97 @@ object Dedup {
     // sets; the kernel counts the intersection in one pass with no
     // intermediate arrays. Same integers, same double division, so the
     // jaccard values (and the exact-oracle comparison) are bit-identical.
-    val out = candidates
-      .as[(Long, Long, Seq[String], Seq[String])]
-      .mapPartitions { it =>
-        it.flatMap { case (a, b, sa, sb) =>
-          val (small, large) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
-          val set = new java.util.HashSet[String](small.length * 2)
-          small.foreach(set.add)
-          var inter = 0
-          large.foreach(s => if (set.contains(s)) inter += 1)
-          val uni = sa.length + sb.length - inter
-          val j = if (uni == 0) 0.0 else inter.toDouble / uni
-          if (j >= threshold) Some((a, b, j)) else None
-        }
-      }.toDF("id_a", "id_b", "jaccard")
+    val out = verifyPairs(candidates, threshold)
     // materialize the (small) result so `sigs` can be released NOW rather
     // than leaking until LRU eviction (round-2 verdict #8)
     val res = out.localCheckpoint(true)
     sigs.unpersist(false)
+    res
+  }
+
+  /** PERSISTABLE near-dup index of a corpus — bucket membership
+    * (band, bucket, id) and signatures (id, sig), sized O(bands + k)
+    * per doc. Shingle sets are deliberately NOT stored: the exact
+    * verify re-derives them from the handful of source rows it
+    * actually touches, so the index stays metadata-scale while the
+    * corpus is data-scale. Committed through TableIO, the index is
+    * maintained per ingest batch with the crawl_ivm merge pattern
+    * (append the delta's rows — both tables are keyed, monotone
+    * accumulators). */
+  def minhashIndexTables(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 5, k: Int = 64, bands: Int = 16)
+      : (DataFrame, DataFrame) = {
+    kernelWarm()
+    val rows =
+      sigRows(docs, idCol, textCol, shingleN, k, bands).localCheckpoint(true)
+    (rows.select(col("id"),
+      posexplode(col("bandkeys")).as(Seq("band", "bucket"))),
+      rows.select("id", "sig"))
+  }
+
+  /** INCREMENTAL near-dup ingest — the O(delta) twin of the
+    * minhashLshPairs batch scan: signatures are computed ONLY for the
+    * delta batch; its band keys probe the persisted index with one
+    * (band, bucket) equi-join (delta×corpus candidates) plus a
+    * delta×delta self-join; the signature prefilter runs on stored
+    * sigs; the exact verify re-shingles JUST the base rows that
+    * collided. Nothing scans the corpus — ingest cost scales with the
+    * delta and its collision set, which is what lets a 100-TB corpus
+    * absorb per-hour batches without re-running q14 over history.
+    * Same banding/threshold semantics as minhashLshPairs; ids must be
+    * disjoint between base and delta (new rows get new ids). */
+  def minhashDeltaPairs(base: DataFrame, idxBuckets: DataFrame,
+                        idxSigs: DataFrame, delta: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.8, estEps: Double = 0.25)
+      : DataFrame = {
+    kernelWarm()
+    val spark = base.sparkSession
+    import spark.implicits._
+    val dRows = sigRows(delta, idCol, textCol, shingleN, k, bands).persist()
+    val dBand = dRows.select(col("id"),
+      posexplode(col("bandkeys")).as(Seq("band", "bucket")))
+    val cross = dBand.select(col("band"), col("bucket"), col("id").as("did"))
+      .join(idxBuckets.select(col("band"), col("bucket"),
+        col("id").as("bid")), Seq("band", "bucket"))
+      .select(least(col("did"), col("bid")).as("id_a"),
+        greatest(col("did"), col("bid")).as("id_b"))
+    val within = dBand.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(dBand.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val pairs = cross.unionByName(within).distinct()
+    val sigAll = idxSigs.unionByName(dRows.select("id", "sig"))
+    val sigEst = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => x === y), b => b)).cast("double") / k
+    val survivors = pairs
+      .join(sigAll.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigAll.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .filter(sigEst >= threshold - estEps)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val needed = survivors.select(col("id_a").as("id"))
+      .unionByName(survivors.select(col("id_b").as("id"))).distinct()
+    val baseSh = base
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .join(needed, Seq("id"))
+      .as[(Long, String)]
+      .mapPartitions(it =>
+        it.map { case (id, t) => (id, shingleSet(t, shingleN).toSeq) })
+      .toDF("id", "sh")
+    val shAll = dRows.select("id", "sh").unionByName(baseSh)
+    val cands = survivors
+      .join(shAll.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(shAll.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val res = verifyPairs(cands, threshold).localCheckpoint(true)
+    dRows.unpersist(false)
     res
   }
 

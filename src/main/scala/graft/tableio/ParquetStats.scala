@@ -108,6 +108,36 @@ object ParquetStats {
     } finally r.close()
   }
 
+  /** Per-ROW-GROUP footer stats of an INT64 column across a parquet
+    * dir: (min, max, bloom-filter present). The q110 gate reads these
+    * to prove the min/max envelopes alone could NOT have pruned (every
+    * group spans the probed key) while the bloom filters could (offsets
+    * present in every group). */
+  def int64GroupStats(spark: SparkSession, path: String,
+                      column: String): Seq[(Long, Long, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def asLong(o: Any): Long = o match {
+      case l: java.lang.Long => l.longValue
+      case other => other.toString.toLong
+    }
+    dataFiles(spark, path).flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no column $column in ${f.getPath}"))
+          (asLong(c.getStatistics.genericGetMin),
+            asLong(c.getStatistics.genericGetMax),
+            c.getBloomFilterOffset >= 0)
+        }
+      } finally r.close()
+    }
+  }
+
   /** Total rows of a parquet file or directory, from footers only. */
   def rowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -1278,6 +1278,63 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q109 incremental dedup: delta-vs-index equals the batch scan's delta slice") {
+    // base corpus indexed once; two hand-built deltas probe it
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (3L, "completely different content about spark physical plans etc"),
+      (7L, "a third unrelated document mentioning parquet footers only"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again okay"),
+      (12L, "the quick brown fox jumps over the lazy dog again and again okay!"),
+      (14L, "nothing like anything above whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+    val (buckets, sigs) =
+      Dedup.minhashIndexTables(base, "doc_id", "text", 5, 120, 24)
+    val inc = Dedup.minhashDeltaPairs(base, buckets, sigs, delta,
+      "doc_id", "text", 5, 120, 24, threshold = 0.6)
+      .as[(Long, Long, Double)].collect.toSeq.sorted
+    // ground truth: the batch scan over base+delta, restricted to pairs
+    // with a delta side
+    val all = Dedup.minhashLshPairs(base.unionByName(delta),
+      "doc_id", "text", 5, 120, 24, threshold = 0.6)
+      .as[(Long, Long, Double)].collect.toSeq
+      .filter(p => p._1 >= 10 || p._2 >= 10).sorted
+    assert(inc == all)
+    // both cross (base 1 vs deltas) and within-delta (10 vs 12) pairs
+    assert(inc.exists(p => p._1 == 1L && p._2 >= 10L))
+    assert(inc.exists(p => p._1 == 10L && p._2 == 12L))
+    assert(!inc.exists(p => p._1 == 14L || p._2 == 14L))
+  }
+
+  test("q110 bloom layout: blooms in every group, envelopes span the probe") {
+    val sf01 = "/root/testdata/sf0.01"
+    val dir = {
+      // force the fixture build, then read its footers
+      graft.Queries.q110BloomSkipping(spark, sf01).collect()
+      graft.Queries.bloomFixtureDir(spark, sf01)
+    }
+    val groups = graft.tableio.ParquetStats.int64GroupStats(
+      spark, s"$dir/events_bloom", "event_id")
+    assert(groups.size >= 4, s"need several row groups, got ${groups.size}")
+    assert(groups.forall(_._3), "every row group must carry a bloom filter")
+    // the md5-scatter makes min/max skipping useless for the probe keys
+    for (k <- Seq(417L, 523L, 611L))
+      assert(groups.forall { case (mn, mx, _) => mn <= k && k <= mx },
+        s"envelopes must span $k — otherwise min/max could have pruned")
+    // the scan itself reads less than half the table: bloom skipping
+    // is the only pruning that can explain it
+    val df = spark.read.parquet(s"$dir/events_bloom")
+      .filter(col("event_id") === 523L)
+    val total = graft.tableio.ParquetStats.rowCount(spark, s"$dir/events_bloom")
+    assert(df.collect().length == 1) // executes df's own plan → metrics live
+    val scanRows = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanRows < total / 2,
+      s"scan read $scanRows of $total rows — bloom skipping did not engage")
+  }
+
   test("q103 KS drift: hand-computed D on a two-sample step-CDF case") {
     val df = (Seq(("xx", 1L), ("xx", 2L), ("xx", 2L), ("xx", 3L)) ++
       Seq(("en", 1L), ("en", 1L), ("en", 2L), ("en", 4L)))
