@@ -4967,6 +4967,174 @@ object Queries {
     """SELECT event_id, user_id, event_type FROM events
       |WHERE event_id IN (417, 523, 611) ORDER BY event_id""".stripMargin
 
+  /** C4/CCNet-style LINE-level corpus dedup with document
+    * reconstruction (Raffel et al. §2.2 drop repeated 3-sentence
+    * spans; CCNet dedups paragraphs corpus-wide): segments repeated
+    * across >= 3 distinct docs are boilerplate and are REMOVED from
+    * every doc, which is a different operator from doc-level dup
+    * scoring (q79) — the doc survives, edited. The synthetic corpus
+    * has no natural line structure (space-separated words, no
+    * sentence marks), so segments are ALIGNED 10-word blocks and
+    * boilerplate is planted deterministically (q45's salting
+    * precedent): doc_id % 4 == 0 docs get shared header A, % 4 == 1
+    * get header B — exactly 10 words each, so the plant occupies
+    * block 0 and every other block is untouched. Scale shape: blocks
+    * travel as (md5, doc, idx) slim rows; the global block census is
+    * ONE hash agg; reconstruction is one doc-keyed agg
+    * (sort_array + array_join); text never joins text. */
+  private[graft] def lineDedup(docs0: DataFrame, minDocs: Int): DataFrame = {
+    // guard empty token lists: Spark's sequence(0, -1) would step DOWN
+    // ([0, -1]) where DuckDB's generate_series yields empty
+    val docs = docs0.filter(size(col("ts")) > 0)
+    val blocks = docs
+      .select(col("doc_id"), expr(
+        """posexplode(transform(
+          |  sequence(0, cast(ceil(size(ts) / 10.0) as int) - 1),
+          |  i -> array_join(slice(ts, i * 10 + 1, 10), ' ')))"""
+          .stripMargin).as(Seq("idx", "block")))
+      .withColumn("bh", md5(col("block")))
+    val boiler = blocks.groupBy("bh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("bh")
+    blocks.join(boiler, Seq("bh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(array_sort(
+          collect_list(struct(col("idx"), col("block")))),
+          s => s("block")), " ")).as("clean_fp"))
+      .join(docs.select(col("doc_id"),
+        expr("cast(ceil(size(ts) / 10.0) as bigint)").as("n_blocks")),
+        Seq("doc_id"))
+      .select("doc_id", "n_blocks", "n_kept", "clean_fp")
+      .orderBy("doc_id")
+  }
+
+  private val q111HeaderA =
+    "shared boilerplate header alpha unit of exactly ten words"
+  private val q111HeaderB =
+    "shared boilerplate header bravo unit of exactly ten words"
+
+  def q111LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(p(dir, "documents"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(q111HeaderA + " "), col("text")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit(q111HeaderB + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+    lineDedup(docs, minDocs = 3)
+  }
+
+  val q111Sql: String =
+    s"""WITH docs AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN '$q111HeaderA ' || text
+       |         WHEN doc_id % 4 = 1 THEN '$q111HeaderB ' || text
+       |         ELSE text END AS text
+       |  FROM documents),
+       |tok AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM docs),
+       |blocks AS (SELECT doc_id, i AS idx,
+       |    array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') AS block
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(0,
+       |    CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS i)),
+       |b AS (SELECT doc_id, idx, block, md5(block) AS bh FROM blocks),
+       |boiler AS (SELECT bh FROM b GROUP BY bh
+       |  HAVING count(DISTINCT doc_id) >= 3),
+       |kept AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |    md5(string_agg(block, ' ' ORDER BY idx)) AS clean_fp
+       |  FROM b WHERE bh NOT IN (SELECT bh FROM boiler)
+       |  GROUP BY doc_id)
+       |SELECT k.doc_id, CAST(ceil(len(t.t) / 10.0) AS BIGINT) AS n_blocks,
+       |  k.n_kept, k.clean_fp
+       |FROM kept k JOIN tok t USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Exact-integer ROC AUC — the ranking-quality evaluation a filter /
+    * classifier sweep reports, via the rank-sum (Mann–Whitney)
+    * identity: AUC = (Σ ranks of positives − P(P+1)/2) / (P·N).
+    * Scores rank over the PINNED total order (value, event_id) so
+    * tie handling is identical across engines, and the statistic is
+    * carried as exact integers (num, den, ppm) — a float AUC can
+    * never be hash-oracled. One window + one agg on a shared
+    * event_type partitioning; labels here are the deterministic
+    * user_id % 5 == 0 class (stated synthetic ground truth). */
+  def q112Auc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    s.read.parquet(p(dir, "events"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        (col("user_id") % 5 === 0).cast("long").as("label"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(sum("label").as("p"),
+        (count(lit(1)) - sum("label")).as("n"),
+        sum(when(col("label") === 1L, col("r")).otherwise(0L))
+          .as("rank_sum"))
+      .select(col("event_type"), col("p"), col("n"),
+        expr("rank_sum - (p * (p + 1)) div 2").as("auc_num"),
+        expr("p * n").as("auc_den"),
+        expr("(rank_sum - (p * (p + 1)) div 2) * 1000000L div (p * n)")
+          .as("auc_ppm"))
+      .orderBy("event_type")
+  }
+
+  val q112Sql: String =
+    """WITH r AS (SELECT event_type,
+      |    CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS label,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rk
+      |  FROM events),
+      |a AS (SELECT event_type, sum(label)::BIGINT AS p,
+      |    (count(*) - sum(label))::BIGINT AS n,
+      |    sum(CASE WHEN label = 1 THEN rk ELSE 0 END)::BIGINT AS rank_sum
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, p, n,
+      |  (rank_sum - (p * (p + 1)) // 2)::BIGINT AS auc_num,
+      |  (p * n)::BIGINT AS auc_den,
+      |  ((rank_sum - (p * (p + 1)) // 2) * 1000000 // (p * n))::BIGINT
+      |    AS auc_ppm
+      |FROM a ORDER BY event_type""".stripMargin
+
+  /** One hive-partitioned events copy per sf dir (partitionBy layout —
+    * the directory-level pruning q50 writes but never reads back
+    * selectively), one file per partition. */
+  private val partLayoutBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def partLayoutDir(s: SparkSession, dir: String): String =
+    partLayoutBase.computeIfAbsent(dir, _ => {
+      val out = tempDirCleaned("graft-part-").toString
+      s.read.parquet(p(dir, "events"))
+        .repartition(1)
+        .write.partitionBy("event_type").parquet(s"$out/events_part")
+      out
+    })
+
+  /** Hive-style PARTITION PRUNING — the directory-level skipping that
+    * precedes every file-level technique (q51/q55 envelopes, q110
+    * blooms): a predicate on the partition column never touches
+    * non-matching directories — the scan's PartitionFilters prune at
+    * PLANNING time from the file index alone, no footer reads, no
+    * data IO. PlanSpec gates PartitionFilters in the scan and
+    * files-read == 1 of 5 from the live metric. */
+  def q113PartitionPruning(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${partLayoutDir(s, dir)}/events_part")
+      .filter(col("event_type") === "purchase")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("event_id").as("sum_ids"))
+      .orderBy("event_type")
+
+  val q113Sql: String =
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  sum(event_id)::BIGINT AS sum_ids
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q108Sql: String = {
     val ps = (0 until 8)
       .map(i => s"  max(CASE WHEN k = $i THEN d END)::BIGINT AS p$i")

@@ -220,7 +220,13 @@ object SparkEntry {
     // O(delta) incremental dedup against a persisted signature index
     "q109_incremental_dedup" -> (Queries.q109IncrementalDedup _),
     // parquet bloom-filter row-group skipping for point lookups
-    "q110_bloom_skipping" -> (Queries.q110BloomSkipping _))
+    "q110_bloom_skipping" -> (Queries.q110BloomSkipping _),
+    // C4-style line-level boilerplate removal with doc reconstruction
+    "q111_line_dedup" -> (Queries.q111LineDedup _),
+    // exact-integer ROC AUC via the rank-sum identity
+    "q112_auc" -> (Queries.q112Auc _),
+    // hive partition pruning: directory-level skipping at planning time
+    "q113_partition_pruning" -> (Queries.q113PartitionPruning _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -338,5 +344,8 @@ object SparkEntry {
     "q107_sliding_distinct" -> Queries.q107Sql,
     "q108_random_projection" -> Queries.q108Sql,
     "q109_incremental_dedup" -> Queries.q109Sql,
-    "q110_bloom_skipping" -> Queries.q110Sql)
+    "q110_bloom_skipping" -> Queries.q110Sql,
+    "q111_line_dedup" -> Queries.q111Sql,
+    "q112_auc" -> Queries.q112Sql,
+    "q113_partition_pruning" -> Queries.q113Sql)
 }

@@ -499,6 +499,38 @@ class PlanSpec extends AnyFunSuite {
       s"projection must not shuffle:\n$p")
   }
 
+  test("custom optimizer rule: levenshtein filters gain the free length bound") {
+    import spark.implicits._
+    // parquet-backed (a literal LocalRelation would be constant-folded
+    // away before any optimizer rule could see the filter)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lev-")
+      .toString + "/t"
+    Seq((1L, "abcdef", "abcdxf"), (2L, "ab", "abcdefghij"))
+      .toDF("id", "a", "b").write.parquet(dir)
+    def q = spark.read.parquet(dir)
+      .filter(levenshtein(col("a"), col("b")) <= 2)
+    val without = q.as[(Long, String, String)].collect.toSeq
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        prev :+ graft.plans.LevenshteinBoundRule
+      val df = q
+      val opt = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(opt.contains("abs("),
+        s"length-difference guard must be injected:\n$opt")
+      // fixed-point safe: exactly one guard for the one conjunct
+      assert("abs\\(".r.findAllIn(opt).size == 1, opt)
+      // semantics preserved: the long-vs-short pair is (correctly)
+      // rejected by the guard alone, the near pair survives the DP
+      assert(df.as[(Long, String, String)].collect.toSeq == without)
+      assert(without == Seq((1L, "abcdef", "abcdxf")))
+      // and the real blocked fuzzy-match query is unchanged by the rule
+      val fuzz = Queries.q64FuzzyMatch(spark, sf).collect().toSeq
+      spark.experimental.extraOptimizations = prev
+      assert(Queries.q64FuzzyMatch(spark, sf).collect().toSeq == fuzz)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("q73/q75/q76 pair generation stays key-grouped: no cartesian anywhere") {
     // all three build quadratic candidates, but always WITHIN a key
     // group (doc_id / l_orderkey / shared prefix shingle) via an

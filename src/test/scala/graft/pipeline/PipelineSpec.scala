@@ -1335,6 +1335,68 @@ class PipelineSpec extends AnyFunSuite {
       s"scan read $scanRows of $total rows — bloom skipping did not engage")
   }
 
+  test("q111 line dedup: shared blocks removed, docs reconstructed in order") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")
+    def body(id: Long) = (1 to 25).map(i => s"w${id}_$i").mkString(" ")
+    // three docs share the header block; one control doc has none
+    val docs = (1L to 3L).map(i => (i, s"$header ${body(i)}")) :+
+      (9L, body(9))
+    val got = graft.Queries.lineDedup(
+      docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokens(col("text")).as("ts")),
+      minDocs = 3)
+      .as[(Long, Long, Long, String)].collect.toSeq
+    // 35 words -> 4 blocks for planted docs (header + 3 body blocks);
+    // header removed everywhere; control doc (25 words -> 3 blocks) intact
+    def blocksOf(words: Seq[String]) =
+      words.grouped(10).map(_.mkString(" ")).toSeq
+    val expected = ((1L to 3L).map { i =>
+      val kept = blocksOf(body(i).split(" ").toSeq)
+      (i, 4L, 3L, md5hex(kept.mkString(" ")))
+    } :+ {
+      val kept = blocksOf(body(9).split(" ").toSeq)
+      (9L, 3L, 3L, md5hex(kept.mkString(" ")))
+    }).sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("q112 AUC: rank-sum identity on a hand case with a score tie") {
+    // type x: scores 1,2,2,3 for events 1..4; positives = events 2,4
+    // pinned order (value, event_id): 1(e1,neg) 2(e2,pos) 2(e3,neg) 4(e4,pos)
+    // ranks of positives: 2 + 4 = 6; num = 6 - 3 = 3; den = 4; AUC .75
+    val ev = Seq(
+      (1L, 101L, "x", 1.0), (2L, 100L, "x", 2.0),
+      (3L, 101L, "x", 2.0), (4L, 105L, "x", 3.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-q112-").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val got = graft.Queries.q112Auc(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect.toSeq
+    assert(got == Seq(("x", 2L, 2L, 3L, 4L, 750000L)))
+  }
+
+  test("q113 partition pruning: PartitionFilters planned, 1 of 5 files read") {
+    val sf01 = "/root/testdata/sf0.01"
+    val df = graft.Queries.q113PartitionPruning(spark, sf01)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val scanPlan = spark.read
+      .parquet(s"${graft.Queries.partLayoutDir(spark, sf01)}/events_part")
+      .filter(col("event_type") === "purchase")
+    assert(scanPlan.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(event_type"),
+      "the partition predicate must prune at planning time")
+    scanPlan.collect()
+    val leaves = scanPlan.queryExecution.executedPlan.collectLeaves()
+    val filesRead = leaves.map(_.metrics("numFiles").value).sum
+    assert(filesRead == 1,
+      s"expected exactly the purchase directory's single file, read $filesRead")
+  }
+
   test("q103 KS drift: hand-computed D on a two-sample step-CDF case") {
     val df = (Seq(("xx", 1L), ("xx", 2L), ("xx", 2L), ("xx", 3L)) ++
       Seq(("en", 1L), ("en", 1L), ("en", 2L), ("en", 4L)))
