@@ -4640,8 +4640,10 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
-  val q104Sql: String =
-    """WITH k AS (
+  /** The multi-pass blocked candidate + verify CTEs, shared by q104's
+    * pair report and q114's entity closure. */
+  private val multiBlockCtes: String =
+    """k AS (
       |  SELECT doc_id, lower(substr(text, 1, 24)) AS key FROM documents),
       |cand AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -4652,10 +4654,50 @@ object Queries {
       |  SELECT a.doc_id, b.doc_id, a.key, b.key
       |  FROM k a JOIN k b ON substr(a.key, 5, 4) = substr(b.key, 5, 4)
       |    AND a.doc_id < b.doc_id
-      |    AND len(a.key) >= 8 AND len(b.key) >= 8)
-      |SELECT a_id, b_id, levenshtein(a_key, b_key)::BIGINT AS edit_dist
-      |FROM cand WHERE levenshtein(a_key, b_key) <= 3
-      |ORDER BY a_id, b_id""".stripMargin
+      |    AND len(a.key) >= 8 AND len(b.key) >= 8)""".stripMargin
+
+  val q104Sql: String =
+    s"""WITH $multiBlockCtes
+       |SELECT a_id, b_id, levenshtein(a_key, b_key)::BIGINT AS edit_dist
+       |FROM cand WHERE levenshtein(a_key, b_key) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** END-TO-END entity resolution — the composition the blocking
+    * (q104), exact-verify, and clustering (q37's min-label CC)
+    * operators exist FOR: near-identical keys matched across disjoint
+    * blocking passes, the match graph closed transitively, every doc
+    * assigned a canonical entity id + entity size, canonical = min id
+    * (deterministic survivor rule). Only docs that matched something
+    * appear — singletons are already canonical. Scale shape inherits
+    * its parts: k blocking shuffles, O(diameter) CC rounds with
+    * lineage truncation, one size agg. */
+  def q114EntityClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q104MultiBlock(s, dir)
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_id").as("entity_id"),
+        col("n_members"), (col("id") === col("cluster_id")).as("canonical"))
+      .orderBy("doc_id")
+  }
+
+  val q114Sql: String =
+    s"""WITH RECURSIVE $multiBlockCtes,
+       |mpairs AS (SELECT a_id, b_id FROM cand
+       |  WHERE levenshtein(a_key, b_key) <= 3),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM mpairs
+       |  UNION SELECT b_id, a_id FROM mpairs),
+       |reach(id, m) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.m FROM edges e JOIN reach r ON e.dst = r.id),
+       |cc AS (SELECT id, min(m) AS entity_id FROM reach GROUP BY id),
+       |sizes AS (SELECT entity_id, count(*)::BIGINT AS n_members
+       |  FROM cc GROUP BY 1)
+       |SELECT cc.id AS doc_id, cc.entity_id, s.n_members,
+       |  (cc.id = cc.entity_id) AS canonical
+       |FROM cc JOIN sizes s USING (entity_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** One compaction fixture per sf dir: a "big" file committed first
     * (must be carried verbatim), a 12-file small-delta tail appended on

@@ -226,7 +226,9 @@ object SparkEntry {
     // exact-integer ROC AUC via the rank-sum identity
     "q112_auc" -> (Queries.q112Auc _),
     // hive partition pruning: directory-level skipping at planning time
-    "q113_partition_pruning" -> (Queries.q113PartitionPruning _))
+    "q113_partition_pruning" -> (Queries.q113PartitionPruning _),
+    // entity resolution end-to-end: blocked match -> transitive closure
+    "q114_entity_clusters" -> (Queries.q114EntityClusters _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -347,5 +349,6 @@ object SparkEntry {
     "q110_bloom_skipping" -> Queries.q110Sql,
     "q111_line_dedup" -> Queries.q111Sql,
     "q112_auc" -> Queries.q112Sql,
-    "q113_partition_pruning" -> Queries.q113Sql)
+    "q113_partition_pruning" -> Queries.q113Sql,
+    "q114_entity_clusters" -> Queries.q114Sql)
 }

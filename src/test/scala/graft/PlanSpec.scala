@@ -531,6 +531,42 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("AQE splits a skewed join partition at runtime (q53's adaptive twin)") {
+    // q53 salts skew STATICALLY (plan-time, portable to any join); AQE
+    // handles it at RUNTIME from exchange statistics — both levers must
+    // exist at 100 TB. Thresholds lowered so the fixture's hot key
+    // (90% of rows, md5-fattened) crosses the skew bar.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32768")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      val left = spark.range(0, 200000)
+        .select(when(col("id") < 180000, 0L).otherwise(col("id")).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(0, 1000)
+        .select(col("id").as("k"), lit("d").as("tag"))
+      val j = left.join(right, "k")
+      // execute j's own plan (count() would plan its own agg and leave
+      // this AdaptiveSparkPlan unfinalized)
+      assert(j.collect().length == 180000) // only the hot key matches
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must have split the hot partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q73/q75/q76 pair generation stays key-grouped: no cartesian anywhere") {
     // all three build quadratic candidates, but always WITHIN a key
     // group (doc_id / l_orderkey / shared prefix shingle) via an

@@ -1397,6 +1397,21 @@ class PipelineSpec extends AnyFunSuite {
       s"expected exactly the purchase directory's single file, read $filesRead")
   }
 
+  test("q114 entity clusters: cross-pass matches close into one entity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q114-").toString
+    // 1~2 only via pass 2, 1~5 only via pass 1, 2~5 via pass 2:
+    // the three close into ONE entity although no single blocking pass
+    // sees all three pairs; 3 and 4 stay singletons (absent)
+    Seq((1L, "abcdefghijklmnop"), (2L, "aXcdefghijklmnop"),
+      (5L, "abcdefghijklmnXp"),
+      (3L, "abcdefghZZZZZZZZ"), (4L, "zzzz"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.Queries.q114EntityClusters(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect.toSeq
+    assert(got == Seq((1L, 1L, 3L, true), (2L, 1L, 3L, false),
+      (5L, 1L, 3L, false)))
+  }
+
   test("q103 KS drift: hand-computed D on a two-sample step-CDF case") {
     val df = (Seq(("xx", 1L), ("xx", 2L), ("xx", 2L), ("xx", 3L)) ++
       Seq(("en", 1L), ("en", 1L), ("en", 2L), ("en", 4L)))
