@@ -4699,6 +4699,50 @@ object Queries {
        |FROM cc JOIN sizes s USING (entity_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Time-series GAP-FILL / resample — the calendar-spine densification
+    * every monitoring/feature pipeline needs before windowed math
+    * (missing buckets must be EXPLICIT zeros or trailing averages and
+    * lag features silently skip over gaps): hourly event counts per
+    * type with absent hours zero-filled across the corpus span. The
+    * spine is generated, not stored — one 1-row min/max agg, the hour
+    * range exploded against the (tiny, broadcast) distinct type set,
+    * then a LEFT join against the observed counts. Spine size =
+    * span × types (metadata-scale at any corpus size; the fact table
+    * contributes one hash agg of slim (type, hour) rows). */
+  private[graft] def gapFill(ev: DataFrame): DataFrame = {
+    val hours = ev.select(col("event_type"),
+      expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"))
+    val span = hours.agg(min("h").as("h0"), max("h").as("h1"))
+    val counts = hours.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"))
+    val spine = hours.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1)")).as("h"), col("h0"))
+    spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), (col("h") - col("h0")).as("hour_idx"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "hour_idx")
+  }
+
+  def q115GapFill(s: SparkSession, dir: String): DataFrame =
+    gapFill(s.read.parquet(p(dir, "events")).select("event_type", "ts"))
+
+  val q115Sql: String =
+    """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+      |  FROM events),
+      |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM h),
+      |counts AS (SELECT event_type, h, count(*)::BIGINT AS n
+      |  FROM h GROUP BY 1, 2),
+      |spine AS (SELECT t.event_type, g.h, span.h0
+      |  FROM (SELECT DISTINCT event_type FROM h) t, span,
+      |    LATERAL (SELECT unnest(generate_series(span.h0, span.h1)) AS h) g)
+      |SELECT s.event_type, (s.h - s.h0)::BIGINT AS hour_idx,
+      |  coalesce(c.n, 0)::BIGINT AS n_events
+      |FROM spine s LEFT JOIN counts c
+      |  ON s.event_type = c.event_type AND s.h = c.h
+      |ORDER BY s.event_type, hour_idx""".stripMargin
+
   /** One compaction fixture per sf dir: a "big" file committed first
     * (must be carried verbatim), a 12-file small-delta tail appended on
     * top (the streaming-sink / per-wave-commit debris shape), then

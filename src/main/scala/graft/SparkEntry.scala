@@ -228,7 +228,9 @@ object SparkEntry {
     // hive partition pruning: directory-level skipping at planning time
     "q113_partition_pruning" -> (Queries.q113PartitionPruning _),
     // entity resolution end-to-end: blocked match -> transitive closure
-    "q114_entity_clusters" -> (Queries.q114EntityClusters _))
+    "q114_entity_clusters" -> (Queries.q114EntityClusters _),
+    // calendar-spine gap-fill: hourly resample with explicit zeros
+    "q115_gap_fill" -> (Queries.q115GapFill _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -350,5 +352,6 @@ object SparkEntry {
     "q111_line_dedup" -> Queries.q111Sql,
     "q112_auc" -> Queries.q112Sql,
     "q113_partition_pruning" -> Queries.q113Sql,
-    "q114_entity_clusters" -> Queries.q114Sql)
+    "q114_entity_clusters" -> Queries.q114Sql,
+    "q115_gap_fill" -> Queries.q115Sql)
 }

@@ -1412,6 +1412,19 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 1L, 3L, false)))
   }
 
+  test("q115 gap fill: absent hours appear as explicit zeros") {
+    val ev = Seq(
+      ("a", "2026-01-01 00:10:00"), ("a", "2026-01-01 00:40:00"),
+      ("a", "2026-01-01 03:10:00"), ("b", "2026-01-01 02:05:00"))
+      .toDF("event_type", "ts")
+    val got = graft.Queries.gapFill(ev)
+      .as[(String, Long, Long)].collect.toSeq
+    // span hours 0..3 for BOTH types; a: 2,0,0,1; b: 0,0,1,0
+    assert(got == Seq(
+      ("a", 0L, 2L), ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("b", 0L, 0L), ("b", 1L, 0L), ("b", 2L, 1L), ("b", 3L, 0L)))
+  }
+
   test("q103 KS drift: hand-computed D on a two-sample step-CDF case") {
     val df = (Seq(("xx", 1L), ("xx", 2L), ("xx", 2L), ("xx", 3L)) ++
       Seq(("en", 1L), ("en", 1L), ("en", 2L), ("en", 4L)))
