@@ -61,12 +61,22 @@ object Recipe {
     val candidates = Seq(
       java.nio.file.Paths.get(withExt),
       java.nio.file.Paths.get(dir, withExt))
-    val path = candidates.find(java.nio.file.Files.exists(_)).getOrElse(
-      throw new java.io.FileNotFoundException(
-        s"recipe not found: ${candidates.mkString(" or ")}"))
+    val path = candidates.find(java.nio.file.Files.exists(_)).getOrElse {
+      // the reference ships recipes/{jpg,mov,videostream}.py — bare names
+      // resolve to the in-repo data twins when no file shadows them
+      shipped.get(filename) match {
+        case Some(r) => return rewrite(r, url, env)
+        case None => throw new java.io.FileNotFoundException(
+          s"recipe not found: ${candidates.mkString(" or ")}")
+      }
+    }
     val json = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     rewrite(parseJson(json), url, env)
   }
+
+  /** The reference's shipped recipes, by bare name. */
+  def shipped: Map[String, Seq[RecipeRule]] =
+    Map("jpg" -> jpg, "mov" -> mov, "videostream" -> videostream)
 
   /** Parse a JSON recipe (jackson — already on the Spark classpath). */
   def parseJson(json: String): Seq[RecipeRule] = {

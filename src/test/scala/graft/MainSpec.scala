@@ -66,6 +66,22 @@ class MainSpec extends AnyFunSuite {
     assert(rows(t.edges) == rows(ref.edges))
   }
 
+  test("shipped recipe names resolve like the reference's recipes/ dir") {
+    // `--recipe mov` with no mov.json anywhere -> the shipped data twin
+    assert(Recipe.load("mov", fixtureSeed) ==
+      Recipe.rewrite(Recipe.mov, fixtureSeed))
+    assert(Recipe.load("jpg", fixtureSeed, Recipe.Env(depth = Some(4))) ==
+      Recipe.rewrite(Recipe.jpg, fixtureSeed, Recipe.Env(depth = Some(4))))
+    // the CLI crawl with it spiders (mov's spider mask is .*) even though
+    // this corpus has no matching media to dump
+    val t = Main.run(Main.parse(Array(fixtureSeed, "--recipe", "mov")),
+      spark)
+    assert(t.seen.count() > 1 && t.dump.count() == 0)
+    intercept[java.io.FileNotFoundException] {
+      Main.run(Main.parse(Array(fixtureSeed, "--recipe", "nope")), spark)
+    }
+  }
+
   test("bad pattern raises the reference's PatternError at plan time") {
     intercept[Recipe.PatternError] {
       Main.run(Main.parse(Array(fixtureSeed, "(unclosed")), spark)
