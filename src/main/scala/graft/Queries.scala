@@ -4743,6 +4743,72 @@ object Queries {
       |  ON s.event_type = c.event_type AND s.h = c.h
       |ORDER BY s.event_type, hour_idx""".stripMargin
 
+  /** STREAMING CDC APPLY (§2.10 part 11) — `foreachBatch` +
+    * `Streaming.mergeBatch`: a correction/backfill stream UPSERTED into
+    * the snapshot store, one copy-on-write merge per micro-batch,
+    * exactly-once on batchId (q61's idempotence recipe lifted from
+    * append to MERGE). Batch 0 corrects the % 7 slice; batch 1 corrects
+    * the % 11 slice AND inserts a backfill — the % 77 overlap proves
+    * last-writer-wins ACROSS batches, and the insert path proves a
+    * merge batch can mix updates with new keys. The base table is
+    * range-laid-out on the key so every merge prunes by footer
+    * envelope (q59's contract). Oracle: the composed upserts replayed
+    * in plain SQL. */
+  def q116StreamMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = s.read.parquet(p(dir, "events"))
+      .select("event_id", "user_id", "event_type", "value")
+    val out = tempDirCleaned("graft-stream-merge-out-").toString
+    val tio = new graft.tableio.TableIO(out, s)
+    tio.commit(Map("src" -> "events"), Map("events" ->
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id")))
+    val fix0 = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("event_type", lit("fix0"))
+    val fix1 = ev.filter(col("event_id") % 11 === 0)
+      .withColumn("event_type", lit("fix1"))
+      .unionByName(ev.filter(col("event_id") % 13 === 0)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("event_type", lit("backfill")))
+    val streamDir = tempDirCleaned("graft-stream-merge-in-")
+    val t0 = ((System.currentTimeMillis() / 1000) - 300) * 1000
+    stageBatchFile(fix0, streamDir, "0-fix0.parquet", t0)
+    stageBatchFile(fix1, streamDir, "1-fix1.parquet", t0 + 60000)
+    val ckpt = tempDirCleaned("graft-stream-merge-ckpt-").toString
+    val q = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => {
+        graft.streaming.Streaming.mergeBatch(
+          tio, "events", df.toDF(), "event_id", id); ()
+      })
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tio.table(tio.latest.get, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("event_id").as("sum_ids"))
+      .orderBy("event_type")
+  }
+
+  val q116Sql: String =
+    """WITH base AS (SELECT event_id,
+      |    CASE WHEN event_id % 11 = 0 THEN 'fix1'
+      |         WHEN event_id % 7 = 0 THEN 'fix0'
+      |         ELSE event_type END AS event_type
+      |  FROM events),
+      |ins AS (SELECT event_id + 10000000 AS event_id,
+      |    'backfill' AS event_type
+      |  FROM events WHERE event_id % 13 = 0),
+      |t AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+      |SELECT event_type, count(*)::BIGINT AS n_events,
+      |  sum(event_id)::BIGINT AS sum_ids
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One compaction fixture per sf dir: a "big" file committed first
     * (must be carried verbatim), a 12-file small-delta tail appended on
     * top (the streaming-sink / per-wave-commit debris shape), then

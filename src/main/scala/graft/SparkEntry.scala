@@ -230,7 +230,9 @@ object SparkEntry {
     // entity resolution end-to-end: blocked match -> transitive closure
     "q114_entity_clusters" -> (Queries.q114EntityClusters _),
     // calendar-spine gap-fill: hourly resample with explicit zeros
-    "q115_gap_fill" -> (Queries.q115GapFill _))
+    "q115_gap_fill" -> (Queries.q115GapFill _),
+    // streaming CDC apply: foreachBatch copy-on-write merge, exactly-once
+    "q116_stream_merge" -> (Queries.q116StreamMerge _))
 
   /** Static oracles. Verify merges OracleGen.all (runtime-rendered VALUES
     * from the sequential RefCrawler) for the crawl and web queries, and
@@ -353,5 +355,6 @@ object SparkEntry {
     "q112_auc" -> Queries.q112Sql,
     "q113_partition_pruning" -> Queries.q113Sql,
     "q114_entity_clusters" -> Queries.q114Sql,
-    "q115_gap_fill" -> Queries.q115Sql)
+    "q115_gap_fill" -> Queries.q115Sql,
+    "q116_stream_merge" -> Queries.q116Sql)
 }

@@ -239,6 +239,33 @@ object Streaming {
     }
   }
 
+  /**
+   * Exactly-once streaming MERGE sink — the streaming-CDC apply recipe
+   * (Delta's foreachBatch-MERGE pattern): each micro-batch of keyed
+   * upserts lands as one copy-on-write `TableIO.mergeTable` commit, so
+   * only files whose key envelopes match the batch rewrite (O(slice)
+   * per batch at any table size) and every other manifest entry carries
+   * verbatim. Idempotent on batchId exactly like `commitBatch` — a
+   * crash-replayed batch is detected from the snapshot meta and
+   * skipped, lifting foreachBatch's at-least-once to exactly-once.
+   * The target table must exist (seed v0 with the base data); batches
+   * must be key-unique (mergeTable's precondition — dedupe upstream).
+   */
+  def mergeBatch(tio: graft.tableio.TableIO, table: String,
+                 updates: DataFrame, keyCol: String,
+                 batchId: Long): Boolean = {
+    val latest = tio.latest.getOrElse(throw new IllegalStateException(
+      s"mergeBatch requires a seeded table '$table' (commit v0 first)"))
+    val lastBatch = latest.meta.get("stream.batch_id")
+      .map(_.toLong).getOrElse(-1L)
+    if (batchId <= lastBatch) false
+    else {
+      tio.mergeTable(latest, table, updates, keyCol,
+        Map("stream.batch_id" -> batchId.toString))
+      true
+    }
+  }
+
   /** Batch twin of firstSeenUrls (for test equivalence). */
   def firstSeenUrlsBatch(urls: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

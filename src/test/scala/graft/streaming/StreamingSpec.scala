@@ -230,4 +230,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._3 >= 0L), "matched pairs must emit too")
     assert(got == batch)
   }
+
+  test("mergeBatch: per-batch CoW upsert, exactly-once on batchId") {
+    val dir = Files.createTempDirectory("graft-merge-batch-").toString
+    val tio = new graft.tableio.TableIO(dir, spark)
+    val base = spark.range(0, 100)
+      .select(col("id").as("k"), lit("base").as("tag"))
+    tio.commit(Map.empty, Map("t" ->
+      base.repartitionByRange(4, col("k")).sortWithinPartitions("k")))
+    val b0 = spark.range(0, 100).filter(col("id") % 10 === 0)
+      .select(col("id").as("k"), lit("u0").as("tag"))
+    assert(Streaming.mergeBatch(tio, "t", b0, "k", 0L))
+    val v1 = tio.latestId.get
+    // crash replay of the SAME batch id: no commit, no change
+    assert(!Streaming.mergeBatch(tio, "t", b0, "k", 0L))
+    assert(tio.latestId.get == v1)
+    // batch 1: update the %15 slice (overlap at %30 -> last writer wins)
+    // and insert new keys
+    val b1 = spark.range(0, 100).filter(col("id") % 15 === 0)
+      .select(col("id").as("k"), lit("u1").as("tag"))
+      .unionByName(spark.range(1000, 1003)
+        .select(col("id").as("k"), lit("ins").as("tag")))
+    assert(Streaming.mergeBatch(tio, "t", b1, "k", 1L))
+    // stale/out-of-order id after batch 1: refused
+    assert(!Streaming.mergeBatch(tio, "t", b0, "k", 1L))
+    val expected = spark.range(0, 100)
+      .select(col("id").as("k"),
+        when(col("id") % 15 === 0, "u1")
+          .when(col("id") % 10 === 0, "u0")
+          .otherwise("base").as("tag"))
+      .unionByName(spark.range(1000, 1003)
+        .select(col("id").as("k"), lit("ins").as("tag")))
+    val got = tio.table(tio.latest.get, "t")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
 }
