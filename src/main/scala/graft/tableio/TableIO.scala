@@ -494,6 +494,41 @@ class TableIO(baseDir: String, spark: SparkSession) {
     deleted
   }
 
+  /** Iceberg-style queryable METADATA table `table.files`: one row per
+    * manifest entry of a snapshot — (table, file, bytes, origin
+    * version). Pure manifest data (zero data-file IO); the inspection
+    * surface a 100-TB operator queries before planning a compaction or
+    * auditing a merge's carry set. */
+  def filesTable(snap: Snapshot): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    snap.tables.toSeq.flatMap { case (t, tl) =>
+      tl.files.map { f =>
+        (t, f.name, f.bytes, f.name.takeWhile(_ != '/').drop(1).toLong)
+      }
+    }.toDF("table", "file", "bytes", "origin_version")
+  }
+
+  /** Metadata table `table.snapshots`: every still-readable version's
+    * (id, per-table row counts, file count, meta as sorted k=v) —
+    * Iceberg's snapshots/history inspection surface, from manifests
+    * alone. */
+  def snapshotsTable(): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val last = latestId.getOrElse(-1L)
+    val fss = fs.listStatus(new Path(baseDir)).toSeq
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+      .map(_.drop(1).toLong).filter(_ <= last).sorted
+      .filter(id => fs.exists(new Path(baseDir, s"v$id/manifest.json")))
+    fss.map { id =>
+      val s = read(id)
+      (id, s.tables.map { case (t, tl) => s"$t=${tl.rows}" }.toSeq.sorted
+        .mkString(","),
+        s.tables.values.map(_.files.size).sum.toLong,
+        s.meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";"))
+    }.toDF("version", "row_stats", "n_files", "meta")
+  }
+
   /** Read a table with ADD-COLUMN schema evolution reconciled at read
     * time (Iceberg's evolution model, restricted to the additive case
     * parquet name-based merging supports): files written before the

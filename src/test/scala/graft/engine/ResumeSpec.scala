@@ -491,6 +491,32 @@ class ResumeSpec extends AnyFunSuite {
     assert(io.removeOrphans() == 0)
   }
 
+  test("metadata tables: files/snapshots mirror the manifests exactly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val io = new TableIO(tmpDir("meta"), spark)
+    val s0 = io.commit(Map("who" -> "t0"), Map("t" ->
+      spark.range(0, 100).select(col("id").as("k"), lit("a").as("tag"))))
+    val tl = s0.tables("t")
+    val s1 = io.commitWrites(Map("who" -> "t1"), Map("t" ->
+      graft.tableio.TableWrite(
+        spark.range(100, 150).select(col("id").as("k"), lit("b").as("tag")),
+        tl.files, tl.rows)))
+    // files table == the manifest's file list, with origin attribution
+    val files = io.filesTable(s1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(files.map(f => (f._2, f._3)).toSet ==
+      s1.tables("t").files.map(f => (f.name, f.bytes)).toSet)
+    assert(files.forall(_._1 == "t"))
+    // append model: v1 carries v0's files, attributed to their origin
+    assert(files.exists(_._4 == 0L) && files.exists(_._4 == 1L))
+    // snapshots table: both versions, row stats and meta round-trip
+    val snaps = io.snapshotsTable().orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    assert(snaps.map(_._1).toSeq == Seq(0L, 1L))
+    assert(snaps(0)._2 == "t=100" && snaps(1)._2 == "t=150")
+    assert(snaps(0)._3.contains("who=t0") && snaps(1)._3.contains("who=t1"))
+  }
+
   test("schema evolution: appended column reconciles at read, old rows null") {
     import org.apache.spark.sql.functions.{col, lit}
     val io = new TableIO(tmpDir("evolve"), spark)
