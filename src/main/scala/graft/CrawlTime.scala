@@ -15,11 +15,14 @@ object CrawlTime {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobs.incrementAndGet()
       })
-      (1 to 2).foreach { i =>
+      graft.engine.WavePhase.install(spark)
+      (1 to 3).foreach { i =>
+        graft.engine.WavePhase.reset()
         val t0 = System.nanoTime()
         Queries.crawlCacheClear()
         val n = Queries.crawlSeen(spark, "").count()
-        println(f"FIXTURE run$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.1f jobs=${jobs.getAndSet(0)}")
+        println(f"FIXTURE run$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f jobs=${jobs.getAndSet(0)}")
+        println(graft.engine.WavePhase.report())
       }
     } else {
       val (thr, n) = Bench.crawlThroughput(spark,

@@ -105,6 +105,9 @@ object Main {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // graft optimizer rules (LevenshteinBoundRule) at session build —
+      // the SparkSessionExtensions contract (round-5 verdict #2)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = run(a, spark)

@@ -29,6 +29,20 @@ object Queries {
 
   private def p(dir: String, t: String) = s"$dir/$t.parquet"
 
+  /** Idempotently register the graft optimizer rules on a live session
+    * (round-5 verdict #2: GraftExtensions was registered only inside
+    * PlanSpec, so the driver-surface q64/q104/q114 plans ran WITHOUT the
+    * levenshtein length guard). The frozen production builders
+    * (Verify/Bench) cannot take a `spark.sql.extensions` config line, so
+    * the queries that need the rule wire it here — `extraOptimizations`
+    * is the documented live-session registration path and the rule is
+    * fixed-point safe, so double registration elsewhere stays a no-op. */
+  private[graft] def ensureGraftRules(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinBoundRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.LevenshteinBoundRule
+
   // ------------------------------------------------------------ crawl
 
   /** One shared fixture crawl per JVM (several queries project from it). */
@@ -2572,6 +2586,7 @@ object Queries {
     * key — the standard multi-pass blocking recipe; single-pass recall
     * excludes those by construction and the oracle shares the block). */
   def q64FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    ensureGraftRules(s)
     val k = s.read.parquet(p(dir, "documents"))
       .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("key"))
       .withColumn("blk", substring(col("key"), 1, 4))
@@ -4620,6 +4635,7 @@ object Queries {
     * the join shape), candidate dedup is one distinct on slim id pairs,
     * and each pass inherits q64's hot-block capping story. */
   def q104MultiBlock(s: SparkSession, dir: String): DataFrame = {
+    ensureGraftRules(s)
     val k = s.read.parquet(p(dir, "documents"))
       .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("key"))
     def pass(start: Int) = {
@@ -4887,9 +4903,19 @@ object Queries {
         expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
     val queries = b.filter(col("vec_id") % 50 === 0)
       .select(col("bucket"), col("vec_id").as("query_id"), col("qv").as("qa"))
-    val corpus = b.filter(col("vec_id") % 50 =!= 0)
-      .select(col("bucket"), col("vec_id").as("neighbor_id"),
-        col("qv").as("qb"))
+    // hot-bucket cap (round-5 verdict #5): a skewed embedding corpus at
+    // 10^10 rows can land quadratically many candidate pairs in one SRP
+    // bucket; the q14/q15 capBuckets guard bounds the corpus side at
+    // 4096/bucket (lowest ids win — deterministic). At the driver's
+    // checked SFs expected occupancy is ~2^3 and the observed max is far
+    // below the cap, so the output (and the frozen oracle) is unchanged;
+    // at scale the recall story is q14's: a capped bucket keeps its 4096
+    // lowest-id members as candidates, multiprobe widens recall.
+    val corpus = Dedup.capBuckets(
+      b.filter(col("vec_id") % 50 =!= 0)
+        .select(col("bucket"), col("vec_id").as("neighbor_id"),
+          col("qv").as("qb")),
+      Seq("bucket"), "neighbor_id", cap = 4096)
     val w = Window.partitionBy("query_id")
       .orderBy(desc("dot_q"), asc("neighbor_id"))
     corpus.join(broadcast(queries), Seq("bucket"))

@@ -397,6 +397,10 @@ class CrawlEngine(
   private val origParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
   private val origBcast =
     spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  private val origWsc =
+    spark.conf.get("spark.sql.codegen.wholeStage", "true")
+  private val origCgFactory =
+    spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
   private var tunedSmall = false
   private def tuneForWaveSize(expectedRows: Long): Unit = {
     val wantSmall = expectedRows <= SmallRankRows
@@ -413,6 +417,16 @@ class CrawlEngine(
         // joins instead: the work rides the action's own job and the
         // per-wave job count collapses to the named actions.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // round-6 (verdict #1): the WavePhase timers put 60-75% of the
+        // small-wave floor in DRIVER time, not job execution — dominated
+        // by per-action whole-stage-codegen + expression compilation
+        // (janino), which a <=1024-row wave can never amortize (and wave
+        // plans embed per-wave literals, so the codegen cache misses
+        // every wave). Interpreted execution flips that trade: measured
+        // fixture-crawl steady 7.3s -> ~4s, cold 16.5s -> ~10s. Big
+        // waves keep codegen (it IS the right plan at scale).
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       } else restoreConf()
     }
   }
@@ -420,6 +434,8 @@ class CrawlEngine(
     spark.conf.set("spark.sql.adaptive.enabled", origAqe)
     spark.conf.set("spark.sql.shuffle.partitions", origParts)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", origBcast)
+    spark.conf.set("spark.sql.codegen.wholeStage", origWsc)
+    spark.conf.set("spark.sql.codegen.factoryMode", origCgFactory)
     tunedSmall = false
   }
 
@@ -512,6 +528,13 @@ class CrawlEngine(
     * KNOWS the reference would run this wave (pre-split queue non-empty),
     * so an empty post-split batch still counts as a (zero-row) wave. */
   private def processWave(queue: DataFrame, rule: RecipeRule,
+                          ruleIdx: Int, mustRunWave: Boolean,
+                          sizeKnown: Boolean): Option[DataFrame] =
+    WavePhase.time(spark, "wave_total") {
+      processWave0(queue, rule, ruleIdx, mustRunWave, sizeKnown)
+    }
+
+  private def processWave0(queue: DataFrame, rule: RecipeRule,
                           ruleIdx: Int, mustRunWave: Boolean,
                           sizeKnown: Boolean): Option[DataFrame] = {
     waveNo += 1
@@ -616,15 +639,17 @@ class CrawlEngine(
     // error/redirect/temporal-retry counts and completed-fetch bytes —
     // six former driver actions folded into the cache-warming pass
     val temporalCodesS = ErrorCode.Temporal.toSeq
-    val batchStats = joined.groupBy(spark_partition_id().as("_pid"))
-      .agg(count(lit(1)).as("_n"),
-        sum(when(col("outcome") =!= ErrorCode.NONE, 1L).otherwise(0L)).as("_e"),
-        sum(when(col("outcome") === ErrorCode.REDIRECT, 1L).otherwise(0L)).as("_r"),
-        sum(when(col("outcome").isin(temporalCodesS: _*) && !col("retry"), 1L)
-          .otherwise(0L)).as("_t"),
-        sum(when(col("outcome") === ErrorCode.NONE, CrawlEngine.contentLenCol)
-          .otherwise(0L)).as("_b"))
-      .collect()
+    val batchStats = WavePhase.time(spark, "batch_stats") {
+      joined.groupBy(spark_partition_id().as("_pid"))
+        .agg(count(lit(1)).as("_n"),
+          sum(when(col("outcome") =!= ErrorCode.NONE, 1L).otherwise(0L)).as("_e"),
+          sum(when(col("outcome") === ErrorCode.REDIRECT, 1L).otherwise(0L)).as("_r"),
+          sum(when(col("outcome").isin(temporalCodesS: _*) && !col("retry"), 1L)
+            .otherwise(0L)).as("_t"),
+          sum(when(col("outcome") === ErrorCode.NONE, CrawlEngine.contentLenCol)
+            .otherwise(0L)).as("_b"))
+        .collect()
+    }
     if (batchStats.isEmpty) { // empty batch: no state was touched
       joined.unpersist(false)
       return emptyBatch
@@ -650,17 +675,22 @@ class CrawlEngine(
     val temporalN = batchStats.map(_.getLong(4)).sum
 
     // spidering sources: successful SPIDER-mode rows (spiderfetch.py:156-161)
-    val nonRedirectCands = qualifyCandidates(
-      joined.filter(col("mode") === Mode.SPIDER &&
-          col("outcome") === ErrorCode.NONE)
-        .select(col("seq").as("parent_seq"), col("doc_id"), col("spans")),
-      rule)
+    val nonRedirectCands = WavePhase.time(spark, "qualify_build") {
+      qualifyCandidates(
+        joined.filter(col("mode") === Mode.SPIDER &&
+            col("outcome") === ErrorCode.NONE)
+          .select(col("seq").as("parent_seq"), col("doc_id"), col("spans")),
+        rule)
+    }
 
     val analysis =
       if (hasRedirects)
-        Some(RedirectResolver.analyze(spark, redirects, corpusN, seen, rule,
-          hostFilterEnabled, docs => qualifyCandidates(docs, rule),
-          nonRedirectCands, tries))
+        Some(WavePhase.time(spark, "redirect_analyze") {
+          RedirectResolver.analyze(spark, redirects, corpusN, seen, rule,
+            hostFilterEnabled, docs => qualifyCandidates(docs, rule),
+            nonRedirectCands, tries,
+            small = batchRows <= SmallRankRows)
+        })
       else None
     analysis.foreach(_.persisted.foreach(pin))
 
@@ -670,6 +700,7 @@ class CrawlEngine(
     // ---- processed log (the crawl-ordering parity surface): recorded
     // lazily under the (batch_ord, seq) total order; the dense global
     // `ord` is ranked once at tables() — no per-batch ranking actions
+    WavePhase.time(spark, "logs_build") {
     processed = processed.unionByName(appendDelta("processed",
       joined.select(lit(batchOrd).as("batch_ord"), col("seq"),
         lit(waveNo).as("wave"), col("url"), col("mode"), col("retry"))))
@@ -712,17 +743,20 @@ class CrawlEngine(
       allCands.filter(col("url") =!= col("parent_url"))
         .select(col("parent_url").as("src"), col("url").as("dst"),
           lit(waveNo).as("wave"))))
+    }
 
     // ---- discoveries: O4 first-wins within the batch, J1 exact dedup vs
     // seen (sketch-fronted), then alias suppression (a url alias'd at pos
     // <= its would-be discovery is already in the web)
-    val w = Window.partitionBy(col("url"))
-      .orderBy(col("parent_seq"), col("extract_idx"))
-    val firstWins = allCands
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn")
-    val fresh = SeenSet.filterNew(spark, firstWins, seen, "url",
-      if (useSketch) Some(sketch) else None, register = pin)
+    val (firstWins, fresh) = WavePhase.time(spark, "events_build") {
+      val w = Window.partitionBy(col("url"))
+        .orderBy(col("parent_seq"), col("extract_idx"))
+      val fw = allCands
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_rn")
+      (fw, SeenSet.filterNew(spark, fw, seen, "url",
+        if (useSketch) Some(sketch) else None, register = pin))
+    }
     val freshReal = analysis match {
       case Some(a) =>
         fresh.join(a.aliasMin, Seq("url"), "left")
@@ -757,28 +791,34 @@ class CrawlEngine(
     }
     // the rank's one pass also answers "how many next-wave records" —
     // the former discovered.count() job
-    val rk = withOrderedIndex(events,
-      Seq("pos", "phase", "idx"), "new_seq", seqCounter,
-      countPred = Some((col("m_fetch") || col("m_spider"),
-        (r: org.apache.spark.sql.Row) =>
-          r.getAs[Boolean]("m_fetch") || r.getAs[Boolean]("m_spider"))),
-      small = batchRows <= SmallRankRows)
+    val rk = WavePhase.time(spark, "event_rank") {
+      withOrderedIndex(events,
+        Seq("pos", "phase", "idx"), "new_seq", seqCounter,
+        countPred = Some((col("m_fetch") || col("m_spider"),
+          (r: org.apache.spark.sql.Row) =>
+            r.getAs[Boolean]("m_fetch") || r.getAs[Boolean]("m_spider"))),
+        small = batchRows <= SmallRankRows)
+    }
     val ranked = rk.df
     val nNew = rk.total
     val discoveredN = rk.predN
     if (rk.localRows.isEmpty) waveAppendLocal = false
     seqCounter += nNew
 
+    WavePhase.time(spark, "post_rank_build") {
     seen = seen.unionByName(appendDelta("seen", ranked.select(col("url"),
       col("host").as("canonicalHost"), lit(waveNo).as("wave"),
       col("new_seq").as("seq"))))
-    if (useSketch && nNew > 0) rk.localRows match {
-      case Some(rows) =>
-        // the rank already collected the rows — fold them into the bank
-        // driver-side instead of paying a build-aggregation job
-        rows.foreach(r =>
-          sketch.addOne(r.getAs[String]("url"), r.getAs[String]("host")))
-      case None => sketch.add(spark, ranked, "url", "host")
+    }
+    if (useSketch && nNew > 0) WavePhase.time(spark, "sketch_add") {
+      rk.localRows match {
+        case Some(rows) =>
+          // the rank already collected the rows — fold them into the bank
+          // driver-side instead of paying a build-aggregation job
+          rows.foreach(r =>
+            sketch.addOne(r.getAs[String]("url"), r.getAs[String]("host")))
+        case None => sketch.add(spark, ranked, "url", "host")
+      }
     }
 
     // ---- chain-hop error/byte counts: free from the collected rank rows
@@ -806,11 +846,12 @@ class CrawlEngine(
         lit(waveNo).as("wave"))))
     }
 
+    val discovered = WavePhase.time(spark, "post_rank_build") {
     dumped = dumped.unionByName(appendDelta("dump",
       ranked.filter(col("m_dump"))
         .select(col("new_seq").as("seq"), lit(waveNo).as("wave"), col("url"))))
 
-    val discovered = ranked
+    ranked
       .filter(col("m_fetch") || col("m_spider"))
       .select(col("url"), col("canonicalUrl"), col("host"),
         when(col("m_fetch") && col("m_spider"), Mode.SPIDER_FETCH)
@@ -818,16 +859,19 @@ class CrawlEngine(
           .otherwise(Mode.SPIDER).as("mode"),
         lit(waveNo).as("wave"), col("new_seq").as("seq"),
         lit(false).as("retry"), lit(0).as("attempt"))
+    }
 
     // ---- once-only temporal retry (spiderfetch.py:150-154); a redirected
     // record retries under its ORIGIN url when the chain's final fetch
     // failed temporally (and the chain wasn't dup-aborted)
     val temporalCodes = ErrorCode.Temporal.toSeq
-    val retryNR = joined
-      .filter(col("outcome").isin(temporalCodes: _*) && !col("retry"))
-      .select(col("url"), col("canonicalUrl"), col("host"), col("mode"),
-        col("wave"), col("seq"), lit(true).as("retry"),
-        (col("attempt") + 1).as("attempt"))
+    val retryNR = WavePhase.time(spark, "post_rank_build") {
+      joined
+        .filter(col("outcome").isin(temporalCodes: _*) && !col("retry"))
+        .select(col("url"), col("canonicalUrl"), col("host"), col("mode"),
+          col("wave"), col("seq"), lit(true).as("retry"),
+          (col("attempt") + 1).as("attempt"))
+    }
     // exact retry count: origin-temporal from batchStats; chain-final
     // temporal from the collected rank rows (a chain's terminal hop is
     // the valid hop whose outcome is not REDIRECT — aborted chains never
@@ -985,8 +1029,10 @@ class CrawlEngine(
         // CompactWaves waves (checkpoint the accumulators, release pins)
         // so block-manager storage stays bounded by the window, not the
         // crawl depth (round-2 advice #1)
-        if (!waveAppendLocal) seen = seen.localCheckpoint(true)
-        if (waveNo % CompactWaves == 0) {
+        if (!waveAppendLocal) WavePhase.time(spark, "seen_truncate") {
+          seen = seen.localCheckpoint(true)
+        }
+        if (waveNo % CompactWaves == 0) WavePhase.time(spark, "compaction") {
           seen = seen.localCheckpoint(true)
           processed = processed.localCheckpoint(true)
           dumped = dumped.localCheckpoint(true)

@@ -89,10 +89,27 @@ object RedirectResolver {
       hostFilterEnabled: Boolean,
       candidateFn: DataFrame => DataFrame,
       nonRedirectCands: DataFrame,
-      tries: Int = 1): Analysis = {
+      tries: Int = 1,
+      small: Boolean = false): Analysis = {
     import spark.implicits._
 
     val keep = ArrayBuffer.empty[DataFrame]
+    // SMALL-batch regime (round-6, verdict #1): the WavePhase timers put
+    // ~40% of the fixture-crawl steady floor inside this one call, and
+    // seven eighths of THAT is driver-side plan construction/analysis —
+    // the fixpoint re-embeds the full candidate tree (extract + rewrite +
+    // qualify) into every newAbort/diff plan it builds. For a batch the
+    // engine already ranks driver-side (<= SmallRankRows), truncate the
+    // shared subtrees with eager localCheckpoints (one cheap interpreted
+    // job each) so every downstream construction analyzes a leaf, and
+    // run the abort-set stability compare on collected rows (the abort
+    // set is bounded by the batch's redirect count) instead of a
+    // full-outer-join diff plan per iteration. Big batches keep the
+    // all-distributed shapes — checkpointing a 10^8-row candidate set
+    // eagerly would be real I/O, and the diff join stays O(chains).
+    def trunc(df: DataFrame): DataFrame =
+      if (small) df.localCheckpoint(true)
+      else { val p = df.persist(); keep += p; p }
 
     // ---------------------------------------------------- phase 1: RESOLVE
     val hostFilter = rule.hostFilter
@@ -105,7 +122,7 @@ object RedirectResolver {
     val levels = ArrayBuffer.empty[DataFrame]
     var more = true
     var level = 0
-    while (more) {
+    while (more) WavePhase.time(spark, "rr_level") {
       level += 1
       if (level > MaxHops)
         throw new IllegalStateException(s"redirect chain longer than $MaxHops")
@@ -134,12 +151,11 @@ object RedirectResolver {
         // wave's bytes metric and the per-launch fetch-log expansion
         .withColumn("to_len", CrawlEngine.contentLenCol)
         .withColumn("to_fail", coalesce(col("fail_attempts"), lit(0)))
-        .persist()
-      keep += hopJoined
-      levels += hopJoined.select("seq", "mode", "attempt", "hop", "from_url",
+      val hopJoinedM = trunc(hopJoined)
+      levels += hopJoinedM.select("seq", "mode", "attempt", "hop", "from_url",
         "to_url", "to_host", "rw_ok", "host_ok", "cycle", "to_outcome",
         "to_len", "to_fail")
-      cur = hopJoined
+      cur = hopJoinedM
         .filter(col("rw_ok") && col("host_ok") && !col("cycle") &&
           col("to_outcome") === ErrorCode.REDIRECT)
         .select(col("seq"), col("mode"), col("attempt"),
@@ -147,23 +163,44 @@ object RedirectResolver {
           col("path"), col("hop"))
       more = cur.limit(1).count() > 0
     }
-    val hops = levels.reduce(_ unionByName _).persist()
-    keep += hops
+    val hops = WavePhase.time(spark, "rr_static") {
+      if (small) levels.reduce(_ unionByName _)
+      else { val p = levels.reduce(_ unionByName _).persist(); keep += p; p }
+    }
 
     // static abort conditions: rewrite fail (StopIteration analogue),
     // off-host, same-chain cycle, target already in the pre-wave seen set
     val seenMark = seenPre.select(col("url").as("to_url"), lit(true).as("_in_seen"))
-    val hopsF = hops.join(seenMark, Seq("to_url"), "left")
-      .withColumn("_static_bad",
-        !col("rw_ok") || !col("host_ok") || col("cycle") ||
-          coalesce(col("_in_seen"), lit(false)))
-      .persist()
-    keep += hopsF
+    val hopsF = WavePhase.time(spark, "rr_static") {
+      if (small)
+        hops.join(seenMark, Seq("to_url"), "left")
+          .withColumn("_static_bad",
+            !col("rw_ok") || !col("host_ok") || col("cycle") ||
+              coalesce(col("_in_seen"), lit(false)))
+          .localCheckpoint(true)
+      else {
+        val p = hops.join(seenMark, Seq("to_url"), "left")
+          .withColumn("_static_bad",
+            !col("rw_ok") || !col("host_ok") || col("cycle") ||
+              coalesce(col("_in_seen"), lit(false)))
+          .persist()
+        keep += p
+        p
+      }
+    }
 
     // -------------------------------------- phase 2: SURVIVAL FIXPOINT
-    var abort = hopsF.filter(col("_static_bad"))
-      .groupBy("seq").agg(min("hop").as("abort_hop")).persist()
-    keep += abort
+    // abort-set materialization: small batches collect it (bounded by the
+    // batch's redirect count) so stability is a driver-side map compare
+    // and downstream joins see a LocalRelation leaf; big batches persist.
+    def abortState(df: DataFrame): (DataFrame, Option[Map[Long, Int]]) =
+      if (small) {
+        val m = df.collect()
+          .map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
+        (m.toSeq.toDF("seq", "abort_hop"), Some(m))
+      } else { val p = df.persist(); keep += p; (p, None) }
+    var (abort, abortMap) = abortState(hopsF.filter(col("_static_bad"))
+      .groupBy("seq").agg(min("hop").as("abort_hop")))
 
     val finalsBase = redirects.select(
       col("seq"), col("mode"), col("retry"), col("attempt"), col("wave"),
@@ -177,7 +214,8 @@ object RedirectResolver {
     }
 
     def buildState(abortDf: DataFrame)
-        : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+        : (DataFrame, DataFrame, DataFrame, DataFrame) =
+        WavePhase.time(spark, "rr_buildstate") {
       val finals = finalsBase
         .join(terminal, Seq("seq"))
         .join(abortDf, Seq("seq"), "left")
@@ -202,7 +240,8 @@ object RedirectResolver {
           col("final_outcome") === ErrorCode.NONE)
         .join(corpusN, col("final_url") === col("doc_id"))
         .select(col("seq").as("parent_seq"), col("doc_id"), col("spans"))
-      val allCands = nonRedirectCands.unionByName(candidateFn(chainSpiderDocs))
+      val allCands = trunc(
+        nonRedirectCands.unionByName(candidateFn(chainSpiderDocs)))
       val aliasMin = validHops.groupBy(col("alias_url").as("url"))
         .agg(min("pos").as("_apos"))
       (finals, validHops, allCands, aliasMin)
@@ -211,7 +250,7 @@ object RedirectResolver {
     var iter = 0
     var stable = false
     var state = buildState(abort)
-    while (!stable) {
+    while (!stable) WavePhase.time(spark, "rr_fixpoint") {
       iter += 1
       if (iter > MaxFixpointIters)
         throw new IllegalStateException("redirect survival fixpoint diverged")
@@ -228,19 +267,23 @@ object RedirectResolver {
         .join(aliasMin, Seq("url"), "left")
         .filter(col("_apos").isNull || col("_apos") > col("parent_seq"))
         .select(col("url").as("to_url"), col("parent_seq").as("_dpos"))
-      val newAbort = hopsF
+      val (newAbort, newMap) = abortState(hopsF
         .join(aliasMin.withColumnRenamed("url", "to_url"), Seq("to_url"), "left")
         .join(dReal, Seq("to_url"), "left")
         .filter(col("_static_bad") ||
           col("_apos") < col("seq") || col("_dpos") < col("seq"))
-        .groupBy("seq").agg(min("hop").as("abort_hop"))
-        .persist()
-      keep += newAbort
-      val diff = abort.withColumnRenamed("abort_hop", "_a1")
-        .join(newAbort.withColumnRenamed("abort_hop", "_a2"), Seq("seq"), "full")
-        .filter(!(col("_a1") <=> col("_a2")))
-      stable = diff.limit(1).count() == 0
+        .groupBy("seq").agg(min("hop").as("abort_hop")))
+      stable = (abortMap, newMap) match {
+        case (Some(a), Some(b)) => a == b
+        case _ =>
+          val diff = abort.withColumnRenamed("abort_hop", "_a1")
+            .join(newAbort.withColumnRenamed("abort_hop", "_a2"),
+              Seq("seq"), "full")
+            .filter(!(col("_a1") <=> col("_a2")))
+          diff.limit(1).count() == 0
+      }
       abort = newAbort
+      abortMap = newMap
       if (!stable) state = buildState(abort)
     }
 

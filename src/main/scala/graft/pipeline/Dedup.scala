@@ -199,8 +199,8 @@ object Dedup {
    * band buckets, so the kept `cap` members still pair with each other.
    * Pass cap <= 0 to disable (exact small-scale runs).
    */
-  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
-                         idCol: String, cap: Int): DataFrame =
+  private[graft] def capBuckets(banded: DataFrame, keyCols: Seq[String],
+                                idCol: String, cap: Int): DataFrame =
     if (cap <= 0) banded
     else {
       val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))

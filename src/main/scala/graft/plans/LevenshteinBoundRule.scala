@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /**
@@ -37,22 +37,33 @@ object LevenshteinBoundRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Guard every `levenshtein(a,b) <= k` conjunct of `cond`; None = no
+    * conjunct needed one (already guarded, or none present). */
+  private def rewriteCond(cond: Expression): Option[Expression] = {
+    val conjuncts = splitConjuncts(cond)
+    val guards: Map[Expression, Expression] = conjuncts.collect {
+      case lte @ LessThanOrEqual(l: Levenshtein, k) if l.threshold.isEmpty
+          && !conjuncts.exists(_.semanticEquals(boundGuard(l, k))) =>
+        (lte: Expression) -> boundGuard(l, k)
+    }.toMap
+    if (guards.isEmpty) None
+    else Some(conjuncts.map {
+      case c if guards.contains(c) => And(guards(c), c)
+      case c => c
+    }.reduce(And))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // the rule runs AFTER the main optimizer batches (extraOptimizations /
+    // injected-rule slot), i.e. after predicate pushdown — a levenshtein
+    // filter over a join (the q64/q104 blocked-match shape) has been
+    // folded into the Join CONDITION by then, so both nodes must match
+    // (round-6: the Filter-only rule never fired on the production plans
+    // it was built for).
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjuncts(cond)
-      val guards: Map[Expression, Expression] = conjuncts.collect {
-        case lte @ LessThanOrEqual(l: Levenshtein, k) if l.threshold.isEmpty
-            && !conjuncts.exists(_.semanticEquals(boundGuard(l, k))) =>
-          (lte: Expression) -> boundGuard(l, k)
-      }.toMap
-      if (guards.isEmpty) f
-      else {
-        val rewritten = conjuncts.map {
-          case c if guards.contains(c) => And(guards(c), c)
-          case c => c
-        }.reduce(And)
-        Filter(rewritten, child)
-      }
+      rewriteCond(cond).map(Filter(_, child)).getOrElse(f)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      rewriteCond(cond).map(c => j.copy(condition = Some(c))).getOrElse(j)
   }
 }
 

@@ -499,6 +499,16 @@ class PlanSpec extends AnyFunSuite {
       s"projection must not shuffle:\n$p")
   }
 
+  test("q64 on a DEFAULT session carries the levenshtein length guard " +
+      "(round-5 verdict #2: the rule must run in production, not just here)") {
+    // no test-side registration: the query builder itself must wire the
+    // rule into whatever session it is handed (Verify/Bench/Main included)
+    val opt = Queries.q64FuzzyMatch(spark, sf)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("abs(") && opt.contains("levenshtein"),
+      s"default-session q64 plan must carry the length-bound guard:\n$opt")
+  }
+
   test("custom optimizer rule: levenshtein filters gain the free length bound") {
     import spark.implicits._
     // parquet-backed (a literal LocalRelation would be constant-folded

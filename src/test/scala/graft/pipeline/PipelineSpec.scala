@@ -176,6 +176,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids.subsetOf((0L until cap.toLong).toSet))
   }
 
+  test("q106 corpus-side hot-bucket cap: keeps lowest ids, does not bite " +
+      "at the driver's SFs (round-5 verdict #5)") {
+    // unit contract: capBuckets keeps exactly the `cap` lowest ids per key
+    val banded = spark.range(100).select(lit(1L).as("bucket"), col("id"))
+    val capped = Dedup.capBuckets(banded, Seq("bucket"), "id", 8)
+      .select("id").as[Long].collect.toSet
+    assert(capped == (0L until 8L).toSet, s"capped set was $capped")
+    // the production cap (4096) must be a pure scale guard at test SFs:
+    // the hottest corpus-side SRP bucket sits far below it, so q106's
+    // output — and the FROZEN DuckDB oracle — is byte-identical
+    val path = s"$sf/embeddings.parquet"
+    val emb = spark.read.parquet(path)
+    val n = graft.tableio.ParquetStats.rowCount(spark, path)
+    val bits = math.max(6,
+      (math.log(n.toDouble + 1) / math.log(2)).ceil.toInt - 3)
+    val planes = Similarity.md5Planes(bits, 64, seed = 7L)
+    val hottest = Similarity.withPlaneBucket(emb, "embedding", planes)
+      .filter(col("vec_id") % 50 =!= 0)
+      .groupBy("bucket").count().agg(max("count")).as[Long].head()
+    assert(hottest < 4096,
+      s"cap would bite at test scale (hottest bucket $hottest) — " +
+        "the frozen oracle does not replay the cap, results would diverge")
+  }
+
   test("hyperplane LSH top-k returns plausible neighbors (bucketed path)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
     val q = emb.orderBy("vec_id").select("embedding").as[Seq[Float]].head()
