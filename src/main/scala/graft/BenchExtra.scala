@@ -51,11 +51,14 @@ object BenchExtra {
     mode match {
       case "time" | "noop" =>
         val reps = args.lift(2).map(_.toInt).getOrElse(3)
+        val phases = sys.env.get("SPARK_GRAFT_PHASES").contains("1")
+        if (phases) graft.engine.WavePhase.install(spark)
         names.foreach { name =>
           val fn = SparkEntry.queries(name)
           val secs = (1 to reps).map { i =>
             if (name.startsWith("crawl") || name.startsWith("web"))
               Queries.crawlCacheClear()
+            if (phases) graft.engine.WavePhase.reset()
             spark.sparkContext.setJobDescription(s"$name#$i")
             val (_, sec) = time {
               val df = fn(spark, sfDir)
@@ -64,6 +67,7 @@ object BenchExtra {
               else df.count()
             }
             spark.sparkContext.setJobDescription(null)
+            if (phases) println(graft.engine.WavePhase.report())
             sec
           }
           println(f"EXTRA $name%-24s ${secs.map(s => f"$s%.3f").mkString(" ")} min=${secs.min}%.3f")

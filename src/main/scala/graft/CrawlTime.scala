@@ -25,9 +25,12 @@ object CrawlTime {
         println(graft.engine.WavePhase.report())
       }
     } else {
+      graft.engine.WavePhase.install(spark)
+      graft.engine.WavePhase.reset()
       val (thr, n) = Bench.crawlThroughput(spark,
         fanout = args.headOption.map(_.toInt).getOrElse(100))
       println(f"CRAWLBENCH urls=$n thr=${thr.toLong}/s")
+      println(graft.engine.WavePhase.report())
     }
     spark.stop()
   }

@@ -248,7 +248,9 @@ object Dedup {
     // cold cache and each evaluate the signature kernel concurrently —
     // measured ~6x duplicated work on first run
     val sigs = withSig.persist()
-    val nDocs = sigs.count()
+    val nDocs = graft.engine.WavePhase.time(spark, "minhash_sig") {
+      sigs.count()
+    }
     val banded = capBuckets(
       sigs.select(col("id"), posexplode(col("bandkeys")).as(Seq("band", "bucket"))),
       Seq("band", "bucket"), "id", bucketCap)
@@ -260,6 +262,27 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // small-corpus execution profile (round 6, same rationale as the
+    // crawl's small-wave profile): below slimRejoinMinDocs everything
+    // after the signature pass is broadcast-sized, and AQE's per-exchange
+    // stage jobs + the 32-partition shuffles are pure dispatch latency —
+    // the 9-job cascade was ~60% of steady wall (WavePhase table in
+    // OPTIMIZATION_r06.md; A/B: 1.2-1.8s vs 1.8-5.1s steady). The gate is
+    // DATA size, not host shape: at production scale the big regime keeps
+    // AQE/session settings untouched. SPARK_GRAFT_Q14_SMALL_PROFILE=0
+    // opts out.
+    val smallProfile = nDocs < slimRejoinMinDocs &&
+      !sys.env.get("SPARK_GRAFT_Q14_SMALL_PROFILE").contains("0")
+    val savedConf: Seq[(String, String)] =
+      if (smallProfile) {
+        val keys = Seq("spark.sql.adaptive.enabled",
+          "spark.sql.shuffle.partitions")
+        val saved = keys.map(k => k -> spark.conf.get(k))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        saved
+      } else Nil
+    try {
     val sigEst = size(filter(zip_with(col("sig_a"), col("sig_b"),
       (x, y) => x === y), b => b)).cast("double") / k
     // Rejoin regime flips on corpus size (count already in hand — no extra
@@ -303,9 +326,12 @@ object Dedup {
     val out = verifyPairs(candidates, threshold)
     // materialize the (small) result so `sigs` can be released NOW rather
     // than leaking until LRU eviction (round-2 verdict #8)
-    val res = out.localCheckpoint(true)
+    val res = graft.engine.WavePhase.time(spark, "minhash_join_verify") {
+      out.localCheckpoint(true)
+    }
     sigs.unpersist(false)
     res
+    } finally savedConf.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   /** PERSISTABLE near-dup index of a corpus — bucket membership
