@@ -72,7 +72,39 @@ object BenchExtra {
           }
           println(f"EXTRA $name%-24s ${secs.map(s => f"$s%.3f").mkString(" ")} min=${secs.min}%.3f")
         }
-      case "explain" =>
+      case "roofline" =>
+        // round-5 verdict #4: the roofline-normalized η claim rests on the
+        // wave job and the roofline job being BYTES-MATCHED per row across
+        // their exchanges. Pin it: run both legs at the declared scale and
+        // report shuffle bytes-written per record from stage metrics.
+        val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8000000").toLong
+        val bytes = new java.util.concurrent.atomic.AtomicLong()
+        val recs = new java.util.concurrent.atomic.AtomicLong()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val m = s.stageInfo.taskMetrics
+              if (m != null) {
+                bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+                recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+              }
+            }
+          })
+        def leg(name: String)(f: => Unit): Unit = {
+          // settle the listener bus so bytes land in the right bucket
+          org.apache.spark.GraftListenerBridge
+            .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
+          bytes.set(0); recs.set(0)
+          f
+          org.apache.spark.GraftListenerBridge
+            .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
+          val b = bytes.get; val r = recs.get
+          println(f"ROOFLINE $name%-10s shuffle_bytes=$b%d records=$r%d " +
+            f"bytes_per_record=${if (r == 0) 0.0 else b.toDouble / r}%.1f")
+        }
+        leg("wave") { Bench.frontierThroughput(spark, n, warmupWaves = 1) }
+        leg("roofline") { Bench.rooflineShuffle(spark, n) }
         val outDir = args.lift(2).getOrElse("plans/r06")
         val tag = args.lift(3).getOrElse("before")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))

@@ -798,7 +798,25 @@ object Queries {
     streamDir.toString
   }
 
-  def q23StreamWindow(s: SparkSession, dir: String): DataFrame = {
+  /** Temporarily narrow the shuffle/state partitioning for a staged
+    * micro-batch streaming run (round-6): every state-store partition
+    * costs files + maintenance PER MICRO-BATCH, and the stream-stream
+    * joins keep four stores per partition — at the session's 32
+    * partitions that fixed overhead was 60-90% of the streaming twins'
+    * wall (q95 25.6s -> 4-5s). State cardinality should track STATE
+    * size, not host cores: these staged replays hold fixture-scale
+    * state, and a real deployment sizes state partitions from state
+    * volume at the checkpoint's first batch. Results are partitioning-
+    * independent (watermark/join semantics are per-key); the session
+    * setting is restored after the run. */
+  private def withStreamProfile[T](s: SparkSession)(f: => T): T = {
+    val k = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(k)
+    s.conf.set(k, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+    try f finally s.conf.set(k, prev)
+  }
+
+  def q23StreamWindow(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(p(dir, "events")).schema
     val streamDir = stagedStreamDir(p(dir, "events"))
@@ -828,7 +846,7 @@ object Queries {
     * (file source → keyed state → memory sink, update mode,
     * Trigger.AvailableNow); the oracle is the batch first-wins window
     * over the same derived URL stream. */
-  def q24StreamFirstSeen(s: SparkSession, dir: String): DataFrame = {
+  def q24StreamFirstSeen(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.Streaming
     import s.implicits._
@@ -875,7 +893,7 @@ object Queries {
     * file source joined per micro-batch against the static `customer`
     * dimension (broadcast), aggregated per market segment in complete
     * mode; final table == the batch join+agg, which is the oracle. */
-  def q31StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+  def q31StreamEnrich(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(p(dir, "events")).schema
     val streamDir = stagedStreamDir(p(dir, "events"))
@@ -922,7 +940,7 @@ object Queries {
     * contribute nothing (had any been admitted, re-opened windows would
     * re-emit and break the hash, as the pre-bridge formulation did). */
   @volatile var q35LastDropped: Long = -1L
-  def q35StreamLate(s: SparkSession, dir: String): DataFrame = {
+  def q35StreamLate(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     val events = s.read.parquet(p(dir, "events"))
     val onTime = events.select(col("ts"), col("event_type"), col("value"))
@@ -1068,12 +1086,21 @@ object Queries {
   /** Winnowing fingerprints (SIGMOD'03 MOSS scheme) over a deterministic
     * doc sample — the rolling-hash document-fingerprinting operator of
     * the training-pipeline family, exploded for a row-exact oracle. */
-  def q25WinnowFingerprints(s: SparkSession, dir: String): DataFrame =
+  def q25WinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // typed winnowing kernel (round-6): the column-expression form is
+    // interpreted (HOFs) at ~1.3 s/doc — 130 s for this query at sf0.1;
+    // the kernel emits bit-identical fingerprints in ~1 s total
+    // (PipelineSpec pins kernel == expression on the corpus).
     s.read.parquet(p(dir, "documents"))
       .filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id"),
-        explode(TextAnalysis.winnowFingerprints(col("text"))).as("fp"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextAnalysis.winnowKernel(t).map(fp => (id, fp))
+      }
+      .toDF("doc_id", "fp")
       .orderBy("doc_id", "fp")
+  }
 
   /** DuckDB replay of the same k=8-gram md5-prefix hashes and w=4-window
     * minima (list slicing is 1-based INCLUSIVE: hs[j:j+3] = 4 hashes). */
@@ -1717,7 +1744,7 @@ object Queries {
     * write); this is the state-ACCUMULATION half of the API. Oracle:
     * admission order is (batch, seq) per host, so the admitted set is
     * exactly row_number ≤ cap over that order — plain ANSI SQL. */
-  def q48StreamRateLimit(s: SparkSession, dir: String): DataFrame = {
+  def q48StreamRateLimit(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.Streaming
     import s.implicits._
@@ -1927,7 +1954,7 @@ object Queries {
     * state finite on an unbounded stream. Integer-exact output (ids +
     * microsecond gap), so the oracle is the same interval join in plain
     * batch SQL. */
-  def q52StreamJoin(s: SparkSession, dir: String): DataFrame = {
+  def q52StreamJoin(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.Streaming
     val ev = s.read.parquet(p(dir, "events"))
@@ -2240,7 +2267,7 @@ object Queries {
     * dedup state or dropped by the watermark as late — both suppress
     * it — so the append-mode output is each event exactly once: the
     * plain events table, which is the oracle. */
-  def q58StreamDedup(s: SparkSession, dir: String): DataFrame = {
+  def q58StreamDedup(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.Streaming
     val ev = s.read.parquet(p(dir, "events"))
@@ -2456,7 +2483,7 @@ object Queries {
     * through exactly once, the oracle is the plain batch aggregation.
     * StreamingSpec additionally gates the replay path (same batchId
     * re-offered → no-op) and per-batch snapshot lineage. */
-  def q61StreamSink(s: SparkSession, dir: String): DataFrame = {
+  def q61StreamSink(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     val ev = s.read.parquet(p(dir, "events"))
       .select("event_id", "user_id", "event_type", "value")
@@ -2863,7 +2890,7 @@ object Queries {
     * subject), so the oracle is the BATCH sessionization — q33's
     * gaps-and-islands SQL. State is O(open sessions), evicted at close:
     * the only sessionization that runs forever on a 100-TB firehose. */
-  def q70StreamSessions(s: SparkSession, dir: String): DataFrame = {
+  def q70StreamSessions(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     val ev = s.read.parquet(p(dir, "events"))
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
@@ -3207,12 +3234,27 @@ object Queries {
     * verification re-joins candidates to the full shingle sets keyed by
     * doc id. Every stage is an equi-join or a keyed agg; nothing is
     * quadratic in the corpus. */
-  private[graft] def prefixSsjoin(docs: DataFrame,
-                                  theta10: Long): DataFrame = {
-    // wordShingles is per-doc distinct already — no extra shuffle here
-    val sh = docs.select(col("doc_id"),
-      explode(Dedup.wordShingles(col("text"), 3)).as("g"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+  private[graft] def prefixSsjoin(docs: DataFrame, theta10: Long,
+                                  arrayVerifyMaxDocs: Long = 100000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Typed shingle source, MATERIALIZED once (round-6 sweep): the old
+    // shape re-evaluated the interpreted higher-order shingling for each
+    // of five consumers (sizes, df, the ranked prefix, both verify
+    // rejoins) — 5x the corpus scan was most of q76's 12.8 s. One kernel
+    // pass produces the per-doc distinct shingle ARRAY; everything else
+    // derives from it.
+    val arrs = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, t) =>
+        (id, Dedup.wordShingleSet(t, 3).toSeq)
+      })
+      .toDF("doc_id", "gs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = arrs.count()
+    val sh = arrs.select(col("doc_id"), explode(col("gs")).as("g"))
+    val sizes = arrs.select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
     val dfg = sh.groupBy("g").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "g")
     val prefix = sh.join(dfg, Seq("g")).join(sizes, Seq("doc_id"))
@@ -3224,20 +3266,53 @@ object Queries {
       .join(prefix.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("g")),
-        Seq("id_b", "g"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_sz"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")),
-        Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")),
-        Seq("id_b"))
-      .withColumn("union_sz", col("sza") + col("szb") - col("inter_sz"))
+    // Verify regime flips on corpus size (q14's size-flip discipline):
+    // SMALL corpus — the shingle-array table is broadcast-sized, so the
+    // candidates ride two broadcast joins and a one-pass hash-set kernel
+    // counts the intersection (no second/third shuffle of the exploded
+    // (doc, g) rows). LARGE corpus — arrays must not travel per candidate
+    // pair; the (doc, g) row join + keyed count stays (the PPJoin paper
+    // shape). Identical integers either way: |distinct-gram match| and
+    // array sizes.
+    val verified =
+      if (nDocs < arrayVerifyMaxDocs)
+        cand
+          .join(arrs.select(col("doc_id").as("id_a"), col("gs").as("gs_a")),
+            Seq("id_a"))
+          .join(arrs.select(col("doc_id").as("id_b"), col("gs").as("gs_b")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("gs_a"), col("gs_b"))
+          .as[(Long, Long, Seq[String], Seq[String])]
+          .mapPartitions(it => it.map { case (ia, ib, ga, gb) =>
+            val (small, large) =
+              if (ga.length <= gb.length) (ga, gb) else (gb, ga)
+            val set = new java.util.HashSet[String](small.length * 2)
+            small.foreach(set.add)
+            var inter = 0
+            large.foreach(g => if (set.contains(g)) inter += 1)
+            (ia, ib, inter.toLong, ga.length.toLong + gb.length - inter)
+          })
+          .toDF("id_a", "id_b", "inter_sz", "union_sz")
+      else {
+        val inter = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("g")),
+            Seq("id_b", "g"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_sz"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")),
+            Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")),
+            Seq("id_b"))
+          .withColumn("union_sz", col("sza") + col("szb") - col("inter_sz"))
+          .select("id_a", "id_b", "inter_sz", "union_sz")
+      }
+    val res = verified
       .filter(col("inter_sz") * 10 >= col("union_sz") * theta10)
       .select("id_a", "id_b", "inter_sz", "union_sz")
-      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    arrs.unpersist(false)
+    res.orderBy("id_a", "id_b")
   }
 
   def q76PrefixSsjoin(s: SparkSession, dir: String): DataFrame =
@@ -3405,19 +3480,31 @@ object Queries {
     q79DupSpansOn(s.read.parquet(p(dir, "documents")))
 
   private[graft] def q79DupSpansOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed gram source, materialized once (round-6 sweep): the HOF
+    // expression form re-tokenized and re-sliced the corpus for both the
+    // doc-frequency agg and the join-back — 2x the interpreted scan was
+    // most of q79's 8.3 s; kernel + persist + checkpointed result.
     val grams = docs
-      .select(col("doc_id"),
-        explode(TextAnalysis.wordNgrams(
-          TextAnalysis.tokens(col("text")), 8)).as("g"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.flatMap { case (id, t) =>
+        Dedup.wordNgramList(t, 8).map(g => (id, g))
+      })
+      .toDF("doc_id", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfg = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("df"))
-    grams.join(dfg, Seq("g"))
+    val res = grams.join(dfg, Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         expr("(n_dup * 1000000L) div n_grams").as("dup_ppm"))
-      .orderBy("doc_id")
+      .localCheckpoint(true)
+    grams.unpersist(false)
+    res.orderBy("doc_id")
   }
 
   val q79Sql: String =
@@ -4103,7 +4190,7 @@ object Queries {
     * (the q70 lesson). All real rows are on time by construction,
     * so the oracle is the same LEFT JOIN in plain batch SQL; the null
     * click side is pinned to -1 on both engines (integer-exact rows). */
-  def q95StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+  def q95StreamOuterJoin(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     val ev = s.read.parquet(p(dir, "events"))
     val t0 = ((System.currentTimeMillis() / 1000) - 300) * 1000
@@ -4770,7 +4857,7 @@ object Queries {
     * range-laid-out on the key so every merge prunes by footer
     * envelope (q59's contract). Oracle: the composed upserts replayed
     * in plain SQL. */
-  def q116StreamMerge(s: SparkSession, dir: String): DataFrame = {
+  def q116StreamMerge(s: SparkSession, dir: String): DataFrame = withStreamProfile(s) {
     import org.apache.spark.sql.streaming.Trigger
     val ev = s.read.parquet(p(dir, "events"))
       .select("event_id", "user_id", "event_type", "value")

@@ -59,6 +59,53 @@ object Dedup {
       array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
+  /** JVM twin of `TextAnalysis.wordNgrams` (ordered, NOT deduped —
+    * occurrence counts matter for the repetition/dup-span metrics);
+    * fewer than n tokens → empty. Pinned equal to the expression in
+    * PipelineSpec (q79's typed gram source). */
+  private[graft] def wordNgramList(text: String, n: Int): Array[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    val out = new Array[String](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  /** JVM twin of `wordShingles` (distinct word n-grams, first-occurrence
+    * order) — the interpreted HOF form re-tokenizes and re-slices per
+    * gram; the kernel is one pass. Pinned equal to the expression in
+    * PipelineSpec (q76's typed shingle source). */
+  private[graft] def wordShingleSet(text: String, n: Int): Array[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val last = math.max(toks.length - n, 0)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** Exact Jaccard similarity of two array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

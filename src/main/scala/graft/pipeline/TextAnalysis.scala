@@ -163,4 +163,51 @@ object TextAnalysis {
     array_sort(array_distinct(
       transform(wIdx, j => array_min(slice(hashes, j, lit(w))))))
   }
+
+  /** JVM twin of `winnowFingerprints` — same values, one tight pass
+    * (round-6, measure-first sweep): the expression form sits outside
+    * whole-stage codegen (higher-order functions are interpreted) and its
+    * md5-expression-per-gram + slice-per-window shape cost ~1.3 s/DOC at
+    * bench scale — 130 s for q25's ~100-doc sample, the worst operator in
+    * the 138-query sweep by 5x. The kernel reuses one MessageDigest,
+    * emits the identical first-8-hex-chars hashes, takes per-window
+    * minima by the same string comparison, and returns the same
+    * distinct+sorted fingerprint set — pinned bit-identical to the
+    * expression in PipelineSpec and to the DuckDB oracle (q25Sql). */
+  private[graft] def winnowKernel(text: String, k: Int = 8,
+                                  w: Int = 4): Array[String] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nGrams = math.max(norm.length - (k - 1), 1)
+    val hashes = new Array[String](nGrams)
+    val hexDigits = "0123456789abcdef".toCharArray
+    var i = 0
+    while (i < nGrams) {
+      val g = norm.substring(i, math.min(i + k, norm.length))
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val cs = new Array[Char](8)
+      var b = 0
+      while (b < 4) {
+        val v = d(b) & 0xff
+        cs(2 * b) = hexDigits(v >> 4)
+        cs(2 * b + 1) = hexDigits(v & 15)
+        b += 1
+      }
+      hashes(i) = new String(cs)
+      md.reset()
+      i += 1
+    }
+    val nWin = math.max(nGrams - (w - 1), 1)
+    val out = new java.util.TreeSet[String]()
+    var j = 0
+    while (j < nWin) {
+      var m = hashes(j)
+      var t = j + 1
+      val end = math.min(j + w, nGrams)
+      while (t < end) { if (hashes(t) < m) m = hashes(t); t += 1 }
+      out.add(m)
+      j += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
 }
