@@ -2775,18 +2775,28 @@ object Queries {
     * grams to it and immediately re-aggregates per doc — the text column
     * never shuffles, only (doc_id, gram) pairs. */
   def q67BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // typed gram source, materialized once (round-6 — the q79 pattern):
+    // the HOF bigram expression was evaluated for both the model agg and
+    // the join-back
     val grams = s.read.parquet(p(dir, "documents"))
-      .select(col("doc_id"),
-        explode(TextAnalysis.wordNgrams(
-          TextAnalysis.tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.flatMap { case (id, t) =>
+        Dedup.wordNgramList(t, 2).map(g => (id, g))
+      })
+      .toDF("doc_id", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
-    grams.join(model, Seq("g"), "left")
+    val res = grams.join(model, Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         count(col("c")).as("n_known"),
         coalesce(sum("c"), lit(0L)).as("lm_hits"))
-      .orderBy("doc_id")
+      .localCheckpoint(true)
+    grams.unpersist(false)
+    res.orderBy("doc_id")
   }
 
   val q67Sql: String =

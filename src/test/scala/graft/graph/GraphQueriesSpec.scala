@@ -34,6 +34,24 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(GraphQueries.deepest(spark, edges, "a") == ("d", 2))
   }
 
+  test("driver-local BFS fast path == distributed loop (trace + deepest)") {
+    // localMaxEdges = 0 forces the Pregel-style loop; default takes the
+    // small-graph collect path — both must agree everywhere, including
+    // ties, cycles and unreachable targets
+    val cyc = Seq(("c", "b", 1), ("b", "c", 1)).toDF("src", "dst", "wave")
+    for ((e, r, t) <- Seq((edges, "a", "d"), (edges, "a", "b"),
+        (cyc, "a", "c"), (edges, "b", "a"))) {
+      assert(GraphQueries.trace(spark, e, r, t, maxDepth = 8) ==
+        GraphQueries.trace(spark, e, r, t, maxDepth = 8, localMaxEdges = 0),
+        s"trace($r -> $t)")
+    }
+    for ((e, r) <- Seq((edges, "a"), (edges, "b"), (cyc, "b"))) {
+      assert(GraphQueries.deepest(spark, e, r) ==
+        GraphQueries.deepest(spark, e, r, localMaxEdges = 0),
+        s"deepest($r)")
+    }
+  }
+
   test("pagerank: integer fixed-point recurrence, hand-computed 3 iterations") {
     // outdeg a=2 b=1 c=2; r0 = 1e6 each; per iteration
     // r'(v) = 150000 + (85 * sum(r(u) div outdeg(u))) div 100:
