@@ -105,6 +105,7 @@ object BenchExtra {
         }
         leg("wave") { Bench.frontierThroughput(spark, n, warmupWaves = 1) }
         leg("roofline") { Bench.rooflineShuffle(spark, n) }
+      case "explain" =>
         val outDir = args.lift(2).getOrElse("plans/r06")
         val tag = args.lift(3).getOrElse("before")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
