@@ -47,14 +47,21 @@ object Main {
     var depth, budget: Option[Int] = None
     var hostFilter, fetchAll, dumpAll = false
     var i = 0
-    def next(): String = { i += 1; argv(i) }
+    def next(): String = {
+      i += 1
+      if (i >= argv.length)
+        throw new IllegalArgumentException(s"missing value for ${argv(i - 1)}")
+      argv(i)
+    }
     while (i < argv.length) {
       argv(i) match {
         case "--recipe" => recipe = Some(next())
         case "--depth" => depth = Some(next().toInt)
-        case "--host-filter" => hostFilter = true
-        case "--fetch-all" => fetchAll = true
-        case "--dump-all" => dumpAll = true
+        // reference spellings (spiderfetch.py run_script: --host, --fetch,
+        // --dump) accepted as aliases (round-5 advice #3)
+        case "--host-filter" | "--host" => hostFilter = true
+        case "--fetch-all" | "--fetch" => fetchAll = true
+        case "--dump-all" | "--dump" => dumpAll = true
         case "--corpus" => corpus = Some(next())
         case "--out" => out = Some(next())
         case "--budget" => budget = Some(next().toInt)

@@ -224,15 +224,49 @@ object Streaming {
    * atomic `_latest` pointer swap means a torn commit is invisible and
    * the replay cleanly re-commits. Returns whether a commit happened.
    */
+  /** Latest committed batch id for `table`'s stream: the marker is
+    * NAMESPACED per table (round-5 advice #2 — two streams writing
+    * different tables of one store, or a stream plus a maintenance
+    * commit like rewriteSmallFiles, would otherwise stomp each other's
+    * store-global marker: lost updates or voided replay protection) and
+    * found by scanning back through snapshots, so an interleaved commit
+    * that doesn't carry the key can't erase it. The un-namespaced legacy
+    * key is honored as a fallback for stores written by older code. */
+  private def lastBatchId(tio: graft.tableio.TableIO, table: String): Long = {
+    val key = s"stream.batch_id.$table"
+    var id = tio.latestId.getOrElse(return -1L)
+    while (id >= 0) {
+      val m = tio.read(id).meta
+      m.get(key).orElse(m.get("stream.batch_id")) match {
+        case Some(v) => return v.toLong
+        case None => id -= 1
+      }
+    }
+    -1L
+  }
+
+  /** The table's most recent lineage, scanning back like the marker: a
+    * snapshot only carries the tables its commit wrote, so when another
+    * stream committed last, `latest.tables` misses this stream's table —
+    * appending from None would silently reset its content. */
+  private def lastLineage(tio: graft.tableio.TableIO,
+                          table: String): Option[graft.tableio.TableLineage] = {
+    var id = tio.latestId.getOrElse(return None)
+    while (id >= 0) {
+      tio.read(id).tables.get(table) match {
+        case some @ Some(_) => return some
+        case None => id -= 1
+      }
+    }
+    None
+  }
+
   def commitBatch(tio: graft.tableio.TableIO, table: String,
                   df: DataFrame, batchId: Long): Boolean = {
-    val latest = tio.latest
-    val lastBatch = latest.flatMap(_.meta.get("stream.batch_id"))
-      .map(_.toLong).getOrElse(-1L)
-    if (batchId <= lastBatch) false
+    if (batchId <= lastBatchId(tio, table)) false
     else {
-      val tl = latest.flatMap(_.tables.get(table))
-      tio.commitWrites(Map("stream.batch_id" -> batchId.toString),
+      val tl = lastLineage(tio, table)
+      tio.commitWrites(Map(s"stream.batch_id.$table" -> batchId.toString),
         Map(table -> graft.tableio.TableWrite(df,
           tl.map(_.files).getOrElse(Nil), tl.map(_.rows).getOrElse(0L))))
       true
@@ -256,12 +290,10 @@ object Streaming {
                  batchId: Long): Boolean = {
     val latest = tio.latest.getOrElse(throw new IllegalStateException(
       s"mergeBatch requires a seeded table '$table' (commit v0 first)"))
-    val lastBatch = latest.meta.get("stream.batch_id")
-      .map(_.toLong).getOrElse(-1L)
-    if (batchId <= lastBatch) false
+    if (batchId <= lastBatchId(tio, table)) false
     else {
       tio.mergeTable(latest, table, updates, keyCol,
-        Map("stream.batch_id" -> batchId.toString))
+        Map(s"stream.batch_id.$table" -> batchId.toString))
       true
     }
   }

@@ -460,8 +460,17 @@ class TableIO(baseDir: String, spark: SparkSession) {
     * in-flight `_tmp_v` dir must not be swept — production passes hours;
     * tests pass 0). Returns the number of deleted entries. */
   def removeOrphans(graceMs: Long = 0L): Int = {
-    val last = latestId.getOrElse(return 0)
-    val referenced = (0L to last)
+    if (latestId.isEmpty) return 0
+    // referenced = the union over EVERY version dir that still holds a
+    // manifest.json — not just ids <= the latest pointer: rollback()
+    // abandons snapshots ABOVE the pointer but keeps their manifests
+    // time-travel-readable until expire drops them, and sweeping their
+    // data files would leave dangling manifests whose reads fail
+    // (round-5 advice #1).
+    val referenced = fs.listStatus(new Path(baseDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .map(_.drop(1).toLong)
       .filter(id => fs.exists(new Path(baseDir, s"v$id/manifest.json")))
       .flatMap(id => read(id).tables.values.flatMap(_.files.map(_.name)))
       .toSet

@@ -491,6 +491,25 @@ class ResumeSpec extends AnyFunSuite {
     assert(io.removeOrphans() == 0)
   }
 
+  test("orphan removal never sweeps a rolled-back (abandoned but " +
+      "time-travel-readable) snapshot's data files (round-5 advice #1)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpDir("orphans-rollback")
+    val io = new TableIO(dir, spark)
+    io.commit(Map.empty, Map("t" ->
+      spark.range(100).select(col("id"), lit("a").as("tag"))))
+    io.commitWrites(Map.empty, Map("t" -> graft.tableio.TableWrite(
+      spark.range(100, 150).select(col("id"), lit("b").as("tag")),
+      io.latest.get.tables("t").files, io.latest.get.tables("t").rows)))
+    io.rollback(0L)
+    // v1 is abandoned (latest = 0) but its manifest survives until
+    // expire — removeOrphans must treat its files as referenced
+    assert(io.removeOrphans() == 0,
+      "abandoned snapshot's files are manifest-listed, not orphans")
+    assert(io.table(io.read(1L), "t").count() == 150L,
+      "time travel into the abandoned snapshot must still work")
+  }
+
   test("metadata tables: files/snapshots mirror the manifests exactly") {
     import org.apache.spark.sql.functions.{col, lit}
     val io = new TableIO(tmpDir("meta"), spark)

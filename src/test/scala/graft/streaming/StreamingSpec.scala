@@ -231,6 +231,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("batch markers are per-table and survive interleaved commits " +
+      "(round-5 advice #2)") {
+    val io = new graft.tableio.TableIO(
+      Files.createTempDirectory("graft-sink-multi-").toString, spark)
+    val rows = spark.range(0, 10).select(col("id").as("k"))
+    // two independent streams into one store: t2's batch 0 must not be
+    // swallowed by t1's higher marker
+    assert(Streaming.commitBatch(io, "t1", rows.toDF, 5L))
+    assert(Streaming.commitBatch(io, "t2", rows.toDF, 0L),
+      "a different table's stream starts at its own batch 0")
+    // an interleaved maintenance commit (no marker in its meta) must not
+    // void replay protection for either stream
+    io.commitWrites(Map("maintenance" -> "true"),
+      Map("m" -> graft.tableio.TableWrite(rows.toDF)))
+    assert(!Streaming.commitBatch(io, "t1", rows.toDF, 5L),
+      "replay of t1 batch 5 must still no-op after a maintenance commit")
+    assert(!Streaming.commitBatch(io, "t2", rows.toDF, 0L),
+      "replay of t2 batch 0 must still no-op")
+    // and t1's next batch both commits and CARRIES its accumulated rows
+    // even though the latest snapshots were written by other commits
+    assert(Streaming.commitBatch(io, "t1", rows.toDF, 6L))
+    assert(io.table(io.latest.get, "t1").count() == 20L,
+      "interleaved commits must not reset another stream's table")
+  }
+
   test("mergeBatch: per-batch CoW upsert, exactly-once on batchId") {
     val dir = Files.createTempDirectory("graft-merge-batch-").toString
     val tio = new graft.tableio.TableIO(dir, spark)
