@@ -612,9 +612,47 @@ object Dedup {
    * turns a non-converged run into an error, never a wrong answer.
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localMaxEdges: Long = 100000L): DataFrame = {
+    // materialized ONCE up front: the upstream pair pipeline (a blocked
+    // match join, say) must not be recomputed by the size probe, the
+    // collect/loop, and each downstream consumer
     val edges = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    // Small pair sets (round-6, the BFS fast-path discipline): the
+    // distributed loop costs O(diameter) rounds of checkpoint + probe
+    // jobs — ~2-3 s of driver latency for fixture-scale pair lists. At
+    // or below `localMaxEdges` (probed with an incremental limit-count)
+    // a driver-local union-find produces the IDENTICAL (id, min-label)
+    // labeling in microseconds; a union-by-min root is inductively the
+    // component minimum. Dedup components are tiny by nature; real
+    // corpus-scale pair lists take the iterative path unchanged.
+    if (localMaxEdges > 0 &&
+        edges.limit((localMaxEdges + 1).toInt).count() <= localMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      return ids.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "cluster_id")
+    }
     // both directions: min-labels must flow against the a<b orientation
     val undirected = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))

@@ -176,6 +176,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids.subsetOf((0L until cap.toLong).toSet))
   }
 
+  test("connected components: driver-local union-find == distributed " +
+      "min-label loop (chains, cliques, singleton pairs)") {
+    // chain 1-2-3-4, clique 10-11-12, pair 20-21, cross-orientation edges
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (12L, 10L),
+      (11L, 12L), (21L, 20L)).toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.connectedComponents(pairs, "a", "b",
+        localMaxEdges = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist)
+    assert(local == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
   test("word-ngram kernel == column expression (q79's typed source)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .orderBy("doc_id").limit(60)
@@ -403,10 +418,12 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("connectedComponents: maxIter guard errors rather than mis-labels") {
-    // a 12-node chain cannot converge in 2 rounds
+    // a 12-node chain cannot converge in 2 rounds (distributed path —
+    // the driver-local union-find has no iteration bound to guard)
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2).collect()
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2,
+        localMaxEdges = 0).collect()
     }
   }
 
