@@ -3262,7 +3262,7 @@ object Queries {
       })
       .toDF("doc_id", "gs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = arrs.count()
+    val nDocs = graft.engine.WavePhase.time(spark, "q76_arrs")(arrs.count())
     val sh = arrs.select(col("doc_id"), explode(col("gs")).as("g"))
     val sizes = arrs.select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
     val dfg = sh.groupBy("g").agg(count(lit(1)).as("df"))
@@ -3317,10 +3317,12 @@ object Queries {
           .withColumn("union_sz", col("sza") + col("szb") - col("inter_sz"))
           .select("id_a", "id_b", "inter_sz", "union_sz")
       }
-    val res = verified
-      .filter(col("inter_sz") * 10 >= col("union_sz") * theta10)
-      .select("id_a", "id_b", "inter_sz", "union_sz")
-      .localCheckpoint(true)
+    val res = graft.engine.WavePhase.time(spark, "q76_pipeline") {
+      verified
+        .filter(col("inter_sz") * 10 >= col("union_sz") * theta10)
+        .select("id_a", "id_b", "inter_sz", "union_sz")
+        .localCheckpoint(true)
+    }
     arrs.unpersist(false)
     res.orderBy("id_a", "id_b")
   }
