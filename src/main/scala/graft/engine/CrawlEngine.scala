@@ -748,6 +748,10 @@ class CrawlEngine(
     // ---- discoveries: O4 first-wins within the batch, J1 exact dedup vs
     // seen (sketch-fronted), then alias suppression (a url alias'd at pos
     // <= its would-be discovery is already in the web)
+    // first-wins stays the WINDOW form: a min_by(struct(...)) hash-agg
+    // variant (map-side partials, no sort) measured SLOWER on the 1M-row
+    // tree crawl — 44-57k URLs/s vs 69-75k/s, both orders, A/B round-6 —
+    // the per-row wide-struct churn outweighs the window's sort.
     val (firstWins, fresh) = WavePhase.time(spark, "events_build") {
       val w = Window.partitionBy(col("url"))
         .orderBy(col("parent_seq"), col("extract_idx"))
